@@ -1,0 +1,133 @@
+"""Tile binning: bounded instance expansion, depth sort, K-aligned layout.
+
+TPU-native replacement for the CUDA duplication + cub radix sort + range
+identification (rasterizer_impl.cu:70-138, 280-317). All shapes static:
+
+  * instance expansion uses searchsorted over cumulative per-Gaussian tile
+    counts instead of per-thread scatter,
+  * the 64-bit [tile|depth] radix sort becomes one stable lexicographic
+    `lax.sort` on (tile_id, depth),
+  * the per-tile ranges are laid out chunk-aligned: every tile's instance run
+    starts at a multiple of `chunk`, so the Pallas blend kernel only ever
+    DMAs aligned (chunk, INSTANCE_WIDTH) blocks selected by a flat work-list.
+
+Everything here is integer bookkeeping — no gradients flow through it.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from frosting_tpu.raster.config import RasterConfig
+
+
+class Binned(NamedTuple):
+    """Static-shape binning result (all int32 unless noted)."""
+
+    padded_gauss: jnp.ndarray  # [padded_rows] gaussian index; N = sentinel
+    work_block: jnp.ndarray  # [work_cap] block index into padded instances
+    work_out: jnp.ndarray  # [work_cap] output tile row (n_tiles = trash)
+    work_first: jnp.ndarray  # [work_cap] 1 if first chunk of its tile
+    work_last: jnp.ndarray  # [work_cap] 1 if last chunk of its tile
+    work_px0: jnp.ndarray  # [work_cap] tile origin x in pixels
+    work_py0: jnp.ndarray  # [work_cap] tile origin y in pixels
+    n_work: jnp.ndarray  # [] number of real work items
+    num_instances: jnp.ndarray  # [] pre-clamp instance count
+    overflow: jnp.ndarray  # [] bool, true if max_instances exceeded
+
+
+def bin_gaussians(
+    rect: jnp.ndarray,  # [N, 4] int32 tile bbox
+    depths: jnp.ndarray,  # [N] f32
+    valid: jnp.ndarray,  # [N] bool
+    cfg: RasterConfig,
+) -> Binned:
+    n = rect.shape[0]
+    cap = cfg.max_instances
+    i32 = jnp.int32
+
+    tx0, ty0, tx1, ty1 = rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3]
+    w = tx1 - tx0
+    counts = jnp.where(valid, w * (ty1 - ty0), 0).astype(i32)
+
+    # --- instance expansion (duplicateWithKeys, rasterizer_impl.cu:70-96) ---
+    cum = jnp.cumsum(counts)  # inclusive
+    total = cum[-1] if n > 0 else jnp.zeros((), i32)
+    overflow = total > cap
+    inst = jnp.arange(cap, dtype=i32)
+    # gaussian owning instance slot i: first g with cum[g] > i
+    gauss = jnp.searchsorted(cum, inst, side="right").astype(i32)
+    inst_valid = inst < total
+    gauss_c = jnp.minimum(gauss, n - 1)
+    base = cum[gauss_c] - counts[gauss_c]  # exclusive offset of owner
+    rank = inst - base
+    tile_x = tx0[gauss_c] + rank % jnp.maximum(w[gauss_c], 1)
+    tile_y = ty0[gauss_c] + rank // jnp.maximum(w[gauss_c], 1)
+    tile_id = jnp.where(
+        inst_valid, tile_y * cfg.tiles_x + tile_x, cfg.n_tiles
+    ).astype(i32)
+    inst_depth = jnp.where(inst_valid, depths[gauss_c], jnp.inf).astype(jnp.float32)
+    inst_gauss = jnp.where(inst_valid, gauss_c, n).astype(i32)
+
+    # --- stable lexicographic sort on (tile, depth); ties keep gaussian
+    # (=submission) order like the CUDA stable radix sort ---
+    tile_s, _depth_s, gauss_s = jax.lax.sort(
+        (tile_id, inst_depth, inst_gauss), num_keys=2, is_stable=True
+    )
+
+    # --- per-tile ranges (identifyTileRanges, rasterizer_impl.cu:116-138) ---
+    tiles = jnp.arange(cfg.n_tiles, dtype=i32)
+    start = jnp.searchsorted(tile_s, tiles, side="left").astype(i32)
+    end = jnp.searchsorted(tile_s, tiles, side="right").astype(i32)
+    tile_counts = end - start
+
+    # --- K-aligned padded layout; every tile gets >= 1 chunk ---
+    k = cfg.chunk
+    n_chunks = jnp.maximum(1, -(-tile_counts // k))
+    padded_counts = n_chunks * k
+    padded_off = jnp.concatenate(
+        [jnp.zeros((1,), i32), jnp.cumsum(padded_counts)[:-1].astype(i32)]
+    )
+    # destination row of sorted instance i
+    tile_ci = jnp.minimum(tile_s, cfg.n_tiles - 1)
+    in_range = tile_s < cfg.n_tiles
+    dest = padded_off[tile_ci] + (jnp.arange(cap, dtype=i32) - start[tile_ci])
+    dest = jnp.where(in_range, dest, cfg.padded_rows - 1)
+    padded_gauss = jnp.full((cfg.padded_rows,), n, i32).at[dest].set(
+        jnp.where(in_range, gauss_s, n)
+    )
+    # the trailing dummy block must stay sentinel even after clamped scatters
+    padded_gauss = padded_gauss.at[cfg.padded_rows - 1].set(n)
+
+    # --- flat chunk work-list ---
+    chunk_cum = jnp.cumsum(n_chunks)  # inclusive
+    n_work = chunk_cum[-1]
+    wids = jnp.arange(cfg.work_cap, dtype=i32)
+    wtile = jnp.searchsorted(chunk_cum, wids, side="right").astype(i32)
+    is_real = wids < n_work
+    wtile_c = jnp.minimum(wtile, cfg.n_tiles - 1)
+    chunk_in_tile = wids - (chunk_cum[wtile_c] - n_chunks[wtile_c])
+    work_block = jnp.where(
+        is_real, padded_off[wtile_c] // k + chunk_in_tile, cfg.n_blocks - 1
+    ).astype(i32)
+    work_out = jnp.where(is_real, wtile_c, cfg.n_tiles).astype(i32)
+    work_first = (is_real & (chunk_in_tile == 0)).astype(i32)
+    work_last = (is_real & (chunk_in_tile == n_chunks[wtile_c] - 1)).astype(i32)
+    work_px0 = (wtile_c % cfg.tiles_x * cfg.tile_w).astype(i32)
+    work_py0 = (wtile_c // cfg.tiles_x * cfg.tile_h).astype(i32)
+
+    return Binned(
+        padded_gauss=padded_gauss,
+        work_block=work_block,
+        work_out=work_out,
+        work_first=work_first,
+        work_last=work_last,
+        work_px0=work_px0,
+        work_py0=work_py0,
+        n_work=n_work,
+        num_instances=total,
+        overflow=overflow,
+    )

@@ -1,0 +1,128 @@
+"""Pure-JAX binned blend: a faithful scan-based simulation of the Pallas
+kernels' work-list execution. Runs on any backend (CPU tests, fallback) and
+shares the exact chunk math with the TPU kernels (chunk_math.py), so
+jax-vs-pallas parity is bit-tight.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from frosting_tpu.raster import chunk_math
+from frosting_tpu.raster.binning import Binned
+from frosting_tpu.raster.config import RasterConfig
+
+
+def _pixel_coords(px0, py0, cfg: RasterConfig):
+    """Flat (1, P) pixel-center coordinates for a tile at origin (px0, py0)."""
+    p = cfg.tile_pixels
+    lane = jnp.arange(p, dtype=jnp.int32)
+    px = (px0 + lane % cfg.tile_w).astype(jnp.float32)[None, :]
+    py = (py0 + lane // cfg.tile_w).astype(jnp.float32)[None, :]
+    return px, py
+
+
+def blend_forward_jax(
+    padded_fields: jnp.ndarray,  # [padded_rows, 16]
+    binned: Binned,
+    cfg: RasterConfig,
+) -> jnp.ndarray:
+    """Returns out [n_tiles + 1, 4, P]: rows 0..2 color, row 3 t_mask."""
+    k = cfg.chunk
+    p = cfg.tile_pixels
+
+    out = jnp.zeros((cfg.n_tiles + 1, 4, p), jnp.float32)
+
+    def body(carry, xs):
+        out, t_all, t_mask, color = carry
+        block, out_row, first, last, px0, py0 = xs
+        fields = jax.lax.dynamic_slice(
+            padded_fields, (block * k, 0), (k, padded_fields.shape[1])
+        )
+        t_all = jnp.where(first == 1, jnp.ones_like(t_all), t_all)
+        t_mask = jnp.where(first == 1, jnp.ones_like(t_mask), t_mask)
+        color = jnp.where(first == 1, jnp.zeros_like(color), color)
+        px, py = _pixel_coords(px0, py0, cfg)
+        t_all, t_mask, color = chunk_math.forward_chunk(
+            fields, t_all, t_mask, color, px, py
+        )
+        tile_out = jnp.concatenate([color, t_mask], axis=0)  # (4, P)
+        out = jax.lax.cond(
+            last == 1,
+            lambda o: jax.lax.dynamic_update_slice(
+                o, tile_out[None], (out_row, 0, 0)
+            ),
+            lambda o: o,
+            out,
+        )
+        return (out, t_all, t_mask, color), None
+
+    init = (
+        out,
+        jnp.ones((1, p), jnp.float32),
+        jnp.ones((1, p), jnp.float32),
+        jnp.zeros((3, p), jnp.float32),
+    )
+    xs = (
+        binned.work_block,
+        binned.work_out,
+        binned.work_first,
+        binned.work_last,
+        binned.work_px0,
+        binned.work_py0,
+    )
+    (out, _, _, _), _ = jax.lax.scan(body, init, xs)
+    return out
+
+
+def blend_backward_jax(
+    padded_fields: jnp.ndarray,  # [padded_rows, 16]
+    binned: Binned,
+    out_fwd: jnp.ndarray,  # [n_tiles + 1, 4, P] forward result
+    g_out: jnp.ndarray,  # [n_tiles + 1, 4, P] cotangent
+    cfg: RasterConfig,
+) -> jnp.ndarray:
+    """Returns per-instance gradient rows [padded_rows, 16]."""
+    k = cfg.chunk
+    p = cfg.tile_pixels
+    grads = jnp.zeros_like(padded_fields)
+
+    def body(carry, xs):
+        grads, t_all, gc_pre = carry
+        block, out_row, first, _last, px0, py0 = xs
+        fields = jax.lax.dynamic_slice(
+            padded_fields, (block * k, 0), (k, padded_fields.shape[1])
+        )
+        t_all = jnp.where(first == 1, jnp.ones_like(t_all), t_all)
+        gc_pre = jnp.where(first == 1, jnp.zeros_like(gc_pre), gc_pre)
+        g_tile = jax.lax.dynamic_slice(g_out, (out_row, 0, 0), (1, 4, p))[0]
+        f_tile = jax.lax.dynamic_slice(out_fwd, (out_row, 0, 0), (1, 4, p))[0]
+        g_color = g_tile[:3]
+        g_tmask = g_tile[3:4]
+        c_total = f_tile[:3]
+        t_final_mask = f_tile[3:4]
+        gc_total = jnp.sum(g_color * c_total, axis=0, keepdims=True)
+        px, py = _pixel_coords(px0, py0, cfg)
+        grad_rows, t_all, gc_pre = chunk_math.backward_chunk(
+            fields, g_color, g_tmask, gc_total, t_final_mask,
+            t_all, gc_pre, px, py,
+        )
+        grads = jax.lax.dynamic_update_slice(grads, grad_rows, (block * k, 0))
+        return (grads, t_all, gc_pre), None
+
+    init = (
+        grads,
+        jnp.ones((1, p), jnp.float32),
+        jnp.zeros((1, p), jnp.float32),
+    )
+    xs = (
+        binned.work_block,
+        binned.work_out,
+        binned.work_first,
+        binned.work_last,
+        binned.work_px0,
+        binned.work_py0,
+    )
+    (grads, _, _), _ = jax.lax.scan(body, init, xs)
+    return grads

@@ -1,0 +1,235 @@
+"""Pallas TPU kernels for the chunked alpha blend (forward + backward).
+
+One grid step = one (tile, chunk) work item from the flat work-list built by
+binning.py. Chunks of the same tile are consecutive, so the carried
+transmittance/color state lives in VMEM scratch across grid steps and the
+output tile block stays resident until its last chunk writes it. The actual
+compositing math is shared with the pure-JAX path (chunk_math.py) — the
+kernel only adds the memory choreography. Per-instance backward gradients go
+to disjoint (chunk, 16) rows of the grads output, replacing the CUDA
+atomicAdd scatter (backward.cu:523-554) with a segment-sum outside.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from frosting_tpu.raster import chunk_math
+from frosting_tpu.raster.binning import Binned
+from frosting_tpu.raster.config import INSTANCE_WIDTH, RasterConfig
+
+
+def _pixel_coords(px0, py0, cfg: RasterConfig):
+    p = cfg.tile_pixels
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    px = (px0 + lane % cfg.tile_w).astype(jnp.float32)
+    py = (py0 + lane // cfg.tile_w).astype(jnp.float32)
+    return px, py
+
+
+def _forward_kernel(
+    # scalar prefetch
+    s_block,
+    s_out,
+    s_first,
+    s_last,
+    s_px0,
+    s_py0,
+    # inputs
+    inst_ref,  # (K, 16) VMEM
+    # outputs
+    out_ref,  # (1, 4, P) VMEM
+    # scratch
+    color_ref,  # (3, P)
+    t_ref,  # (2, P): row 0 t_all, row 1 t_mask
+    *,
+    cfg: RasterConfig,
+):
+    w = pl.program_id(0)
+    first = s_first[w]
+    last = s_last[w]
+
+    @pl.when(first == 1)
+    def _():
+        color_ref[...] = jnp.zeros_like(color_ref)
+        t_ref[...] = jnp.ones_like(t_ref)
+
+    px, py = _pixel_coords(s_px0[w], s_py0[w], cfg)
+    t_all, t_mask, color = chunk_math.forward_chunk(
+        inst_ref[...],
+        t_ref[0:1],
+        t_ref[1:2],
+        color_ref[...],
+        px,
+        py,
+    )
+    color_ref[...] = color
+    t_ref[0:1] = t_all
+    t_ref[1:2] = t_mask
+
+    @pl.when(last == 1)
+    def _():
+        out_ref[0, 0:3] = color
+        out_ref[0, 3:4] = t_mask
+
+
+def blend_forward_pallas(
+    padded_fields: jnp.ndarray,  # [padded_rows, 16]
+    binned: Binned,
+    cfg: RasterConfig,
+) -> jnp.ndarray:
+    p = cfg.tile_pixels
+    k = cfg.chunk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(cfg.work_cap,),
+        in_specs=[
+            pl.BlockSpec(
+                (k, INSTANCE_WIDTH),
+                lambda w, sb, *_: (sb[w], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, p),
+            lambda w, sb, so, *_: (so[w], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, p), jnp.float32),
+            pltpu.VMEM((2, p), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_forward_kernel, cfg=cfg),
+        out_shape=jax.ShapeDtypeStruct((cfg.n_tiles + 1, 4, p), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(
+        binned.work_block,
+        binned.work_out,
+        binned.work_first,
+        binned.work_last,
+        binned.work_px0,
+        binned.work_py0,
+        padded_fields,
+    )
+
+
+def _backward_kernel(
+    # scalar prefetch
+    s_block,
+    s_out,
+    s_first,
+    s_last,
+    s_px0,
+    s_py0,
+    # inputs
+    inst_ref,  # (K, 16)
+    fwd_ref,  # (1, 4, P) forward output of this tile
+    g_ref,  # (1, 4, P) cotangent of this tile
+    # outputs
+    grad_ref,  # (K, 16)
+    # scratch
+    carry_ref,  # (2, P): row 0 t_all, row 1 gc_pre
+    *,
+    cfg: RasterConfig,
+):
+    w = pl.program_id(0)
+    first = s_first[w]
+
+    @pl.when(first == 1)
+    def _():
+        carry_ref[0:1] = jnp.ones_like(carry_ref[0:1])
+        carry_ref[1:2] = jnp.zeros_like(carry_ref[1:2])
+
+    g_color = g_ref[0, 0:3]
+    g_tmask = g_ref[0, 3:4]
+    c_total = fwd_ref[0, 0:3]
+    t_final_mask = fwd_ref[0, 3:4]
+    gc_total = jnp.sum(g_color * c_total, axis=0, keepdims=True)
+
+    px, py = _pixel_coords(s_px0[w], s_py0[w], cfg)
+    grad_rows, t_all, gc_pre = chunk_math.backward_chunk(
+        inst_ref[...],
+        g_color,
+        g_tmask,
+        gc_total,
+        t_final_mask,
+        carry_ref[0:1],
+        carry_ref[1:2],
+        px,
+        py,
+    )
+    carry_ref[0:1] = t_all
+    carry_ref[1:2] = gc_pre
+    grad_ref[...] = grad_rows
+
+
+def blend_backward_pallas(
+    padded_fields: jnp.ndarray,
+    binned: Binned,
+    out_fwd: jnp.ndarray,  # [n_tiles+1, 4, P]
+    g_out: jnp.ndarray,  # [n_tiles+1, 4, P]
+    cfg: RasterConfig,
+) -> jnp.ndarray:
+    p = cfg.tile_pixels
+    k = cfg.chunk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(cfg.work_cap,),
+        in_specs=[
+            pl.BlockSpec(
+                (k, INSTANCE_WIDTH),
+                lambda w, sb, *_: (sb[w], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, p),
+                lambda w, sb, so, *_: (so[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, p),
+                lambda w, sb, so, *_: (so[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (k, INSTANCE_WIDTH),
+            lambda w, sb, *_: (sb[w], 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, p), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_backward_kernel, cfg=cfg),
+        out_shape=jax.ShapeDtypeStruct(
+            (cfg.padded_rows, INSTANCE_WIDTH), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(
+        binned.work_block,
+        binned.work_out,
+        binned.work_first,
+        binned.work_last,
+        binned.work_px0,
+        binned.work_py0,
+        padded_fields,
+        out_fwd,
+        g_out,
+    )

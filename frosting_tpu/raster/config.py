@@ -1,0 +1,86 @@
+"""Static rasterizer configuration.
+
+Everything here is shape-determining and must be hashable/static under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+# Packed per-instance field layout (float32 rows of width INSTANCE_WIDTH):
+#   0: mean2d.x   1: mean2d.y
+#   2: conic.a    3: conic.b     4: conic.c
+#   5: opacity
+#   6: color.r    7: color.g     8: color.b
+#   9..15: reserved (zero)
+INSTANCE_WIDTH = 16
+
+# Alpha-compositing constants, matching renderCUDA (forward.cu:310-351).
+ALPHA_CLAMP = 0.99
+ALPHA_CUTOFF = 1.0 / 255.0
+TRANSMITTANCE_EPS = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static shape/capacity configuration for one render resolution."""
+
+    width: int
+    height: int
+    # Pixel tile processed by one blend program. 32x32=1024 pixels fills the
+    # 8x128 VPU exactly; the CUDA reference uses 16x16 (config.h:15-17) but
+    # tile size only affects the conservative rect-inclusion set, not the
+    # compositing math.
+    tile_w: int = 32
+    tile_h: int = 32
+    # Gaussians blended per chunk; sets the (chunk, chunk) triangular-matmul
+    # size used for the in-chunk transmittance cumulative product.
+    chunk: int = 64
+    # Capacity for duplicated (gaussian, tile) instances before padding. The
+    # dynamic `num_rendered` of the CUDA reference (rasterizer_impl.cu:280-285)
+    # becomes this static bound + an overflow flag.
+    max_instances: int = 1 << 20
+    # Near-plane depth cull (auxiliary.h in_frustum).
+    near: float = 0.2
+    sh_degree: int = 3
+    # Blend backend: "auto" (pallas on TPU, jax elsewhere), "pallas", "jax".
+    backend: str = "auto"
+
+    def __post_init__(self):
+        if self.max_instances % self.chunk != 0:
+            raise ValueError("max_instances must be a multiple of chunk")
+        if self.tile_pixels % 128 != 0:
+            raise ValueError("tile_w*tile_h must be a multiple of 128 (lanes)")
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_w)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_h)
+
+    @property
+    def n_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def tile_pixels(self) -> int:
+        return self.tile_w * self.tile_h
+
+    @property
+    def padded_rows(self) -> int:
+        """Static row count of the K-aligned instance buffer: capacity, plus
+        up to one padding chunk per tile (every tile gets >= 1 chunk so its
+        output block is always written), plus one trailing all-zero dummy
+        block that out-of-range work items point at."""
+        return self.max_instances + (self.n_tiles + 1) * self.chunk
+
+    @property
+    def n_blocks(self) -> int:
+        return self.padded_rows // self.chunk
+
+    @property
+    def work_cap(self) -> int:
+        return self.n_blocks

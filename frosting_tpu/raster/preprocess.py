@@ -1,0 +1,137 @@
+"""Per-Gaussian preprocessing: projection, EWA covariance, SH color, tile rect.
+
+Differentiable pure-JAX re-derivation of preprocessCUDA
+(cuda_rasterizer/forward.cu:154-259). Integer outputs (radii, rects) carry no
+gradients; everything else is autodiff-transparent, so the rasterizer's
+backward through projection/covariance/SH is plain `jax.vjp` — no hand-written
+chain rule as in backward.cu:144-398.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from frosting_tpu.cameras import Camera, ndc_to_pix
+from frosting_tpu.ops import cov as cov_ops
+from frosting_tpu.ops import sh as sh_ops
+from frosting_tpu.raster.config import INSTANCE_WIDTH, RasterConfig
+
+
+class Projected(NamedTuple):
+    means2d: jnp.ndarray  # [N, 2] pixel coords
+    conics: jnp.ndarray  # [N, 3] inverse 2D covariance (a, b, c)
+    colors: jnp.ndarray  # [N, 3] clamped RGB
+    opacities: jnp.ndarray  # [N] activated opacity
+    depths: jnp.ndarray  # [N] view-space z
+    radii: jnp.ndarray  # [N] int32 3-sigma pixel radius (0 => culled)
+    rect: jnp.ndarray  # [N, 4] int32 (tx0, ty0, tx1, ty1) tile bbox
+    valid: jnp.ndarray  # [N] bool
+
+
+def preprocess(
+    means3d: jnp.ndarray,  # [N, 3]
+    scales: jnp.ndarray,  # [N, 3] activated (positive)
+    quats: jnp.ndarray,  # [N, 4] unit wxyz
+    opacities: jnp.ndarray,  # [N] activated (0..1)
+    sh: jnp.ndarray,  # [N, K, 3] SH coefficients
+    camera: Camera,
+    cfg: RasterConfig,
+    active_sh_degree: int | None = None,
+    colors_precomp: jnp.ndarray | None = None,
+    cov3d_precomp: jnp.ndarray | None = None,
+    scale_modifier: float = 1.0,
+) -> Projected:
+    deg = cfg.sh_degree if active_sh_degree is None else active_sh_degree
+    f32 = jnp.float32
+
+    # Keep projection math in true f32 on TPU (default matmul is bf16 passes).
+    dot_hi = lambda a, b: jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+    ones = jnp.ones_like(means3d[..., :1])
+    homog = jnp.concatenate([means3d, ones], axis=-1)  # [N, 4]
+
+    p_view = dot_hi(homog, camera.world_view[:, :3])  # [N, 3]
+    depth = p_view[..., 2]
+    in_front = depth > cfg.near
+
+    p_hom = dot_hi(homog, camera.full_proj)  # [N, 4]
+    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
+    ndc = p_hom[..., :2] * p_w[..., None]
+    mean_x = ndc_to_pix(ndc[..., 0], cfg.width)
+    mean_y = ndc_to_pix(ndc[..., 1], cfg.height)
+    means2d = jnp.stack([mean_x, mean_y], axis=-1)
+
+    if cov3d_precomp is None:
+        cov6 = cov_ops.cov3d_from_scale_quat(scales * scale_modifier, quats)
+    else:
+        cov6 = cov3d_precomp
+    focal_x, focal_y = camera.focals(cfg.width, cfg.height)
+    cov2d = cov_ops.ewa_project(
+        means3d, cov6, camera.world_view, focal_x, focal_y,
+        camera.tan_fov_x, camera.tan_fov_y,
+    )
+    conic, radius_f, det = cov_ops.conic_and_radius(cov2d)
+
+    if colors_precomp is None:
+        dirs = means3d - camera.cam_center
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+        )
+        colors = jnp.maximum(sh_ops.eval_sh(deg, sh, dirs) + 0.5, 0.0)
+    else:
+        colors = colors_precomp
+
+    # Tile rect (getRect, auxiliary.h:46-55). Integer/bookkeeping only.
+    r = jnp.where(in_front & (det > 0.0), radius_f, 0.0)
+    mx = jnp.floor(mean_x)  # rect math on non-grad copies
+    my = jnp.floor(mean_y)
+    tx0 = jnp.clip(((mean_x - r) // cfg.tile_w), 0, cfg.tiles_x).astype(jnp.int32)
+    ty0 = jnp.clip(((mean_y - r) // cfg.tile_h), 0, cfg.tiles_y).astype(jnp.int32)
+    tx1 = jnp.clip(
+        ((mean_x + r + cfg.tile_w - 1) // cfg.tile_w), 0, cfg.tiles_x
+    ).astype(jnp.int32)
+    ty1 = jnp.clip(
+        ((mean_y + r + cfg.tile_h - 1) // cfg.tile_h), 0, cfg.tiles_y
+    ).astype(jnp.int32)
+    del mx, my
+    area = (tx1 - tx0) * (ty1 - ty0)
+    valid = in_front & (det > 0.0) & (area > 0)
+    rect = jnp.stack([tx0, ty0, tx1, ty1], axis=-1)
+    radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+
+    return Projected(
+        means2d=means2d.astype(f32),
+        conics=conic.astype(f32),
+        colors=colors.astype(f32),
+        opacities=opacities.astype(f32),
+        depths=depth.astype(f32),
+        radii=radii,
+        rect=rect,
+        valid=valid,
+    )
+
+
+def pack_fields(proj: Projected) -> jnp.ndarray:
+    """Pack differentiable per-Gaussian fields into [N+1, INSTANCE_WIDTH]
+    float32 rows; the trailing row is the zero sentinel that padded instance
+    slots gather (opacity 0 => no contribution)."""
+    n = proj.means2d.shape[0]
+    zeros = jnp.zeros((n,), jnp.float32)
+    opac = jnp.where(proj.valid, proj.opacities, 0.0)
+    cols = [
+        proj.means2d[:, 0],
+        proj.means2d[:, 1],
+        proj.conics[:, 0],
+        proj.conics[:, 1],
+        proj.conics[:, 2],
+        opac,
+        proj.colors[:, 0],
+        proj.colors[:, 1],
+        proj.colors[:, 2],
+    ]
+    cols += [zeros] * (INSTANCE_WIDTH - len(cols))
+    fields = jnp.stack(cols, axis=-1)
+    return jnp.concatenate([fields, jnp.zeros((1, INSTANCE_WIDTH), jnp.float32)])

@@ -1,0 +1,171 @@
+"""Top-level differentiable render: preprocess -> bin -> blend -> compose.
+
+The custom-VJP boundary wraps only the non-autodiffable middle (binning +
+chunked blend). Projection / covariance / SH gradients flow through plain JAX
+autodiff of preprocess.py; the blend backward produces per-Gaussian gradients
+of (mean2d, conic, color, opacity) via Pallas (or the pure-JAX twin) plus a
+segment-sum over instances — the TPU replacement for the reference's
+atomicAdd scatters (backward.cu:523-554).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frosting_tpu.cameras import Camera
+from frosting_tpu.raster import blend_jax
+from frosting_tpu.raster.binning import Binned, bin_gaussians
+from frosting_tpu.raster.config import RasterConfig
+from frosting_tpu.raster.preprocess import Projected, pack_fields, preprocess
+
+
+class RenderOutput(NamedTuple):
+    image: jnp.ndarray  # [3, H, W] composited with background
+    t_final: jnp.ndarray  # [H, W] final transmittance
+    radii: jnp.ndarray  # [N] int32
+    num_instances: jnp.ndarray  # [] int32
+    overflow: jnp.ndarray  # [] bool
+
+
+def _float0_like(x):
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+def _blend_impl(fields_ext, binned: Binned, cfg: RasterConfig):
+    if cfg_backend(cfg) == "pallas":
+        from frosting_tpu.raster import blend_pallas
+
+        padded = jnp.take(fields_ext, binned.padded_gauss, axis=0)
+        return blend_pallas.blend_forward_pallas(padded, binned, cfg)
+    padded = jnp.take(fields_ext, binned.padded_gauss, axis=0)
+    return blend_jax.blend_forward_jax(padded, binned, cfg)
+
+
+def _blend_bwd_impl(fields_ext, binned: Binned, out, g_out, cfg: RasterConfig):
+    padded = jnp.take(fields_ext, binned.padded_gauss, axis=0)
+    if cfg_backend(cfg) == "pallas":
+        from frosting_tpu.raster import blend_pallas
+
+        grads_inst = blend_pallas.blend_backward_pallas(
+            padded, binned, out, g_out, cfg
+        )
+    else:
+        grads_inst = blend_jax.blend_backward_jax(padded, binned, out, g_out, cfg)
+    return jax.ops.segment_sum(
+        grads_inst, binned.padded_gauss, num_segments=fields_ext.shape[0]
+    )
+
+
+def cfg_backend(cfg: RasterConfig) -> str:
+    backend = getattr(cfg, "backend", "auto")
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "jax"
+    return backend
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _blend(cfg: RasterConfig, fields_ext, rect, depths, valid):
+    binned = bin_gaussians(rect, depths, valid, cfg)
+    out = _blend_impl(fields_ext, binned, cfg)
+    return out, binned.num_instances, binned.overflow
+
+
+def _blend_fwd(cfg, fields_ext, rect, depths, valid):
+    binned = bin_gaussians(rect, depths, valid, cfg)
+    out = _blend_impl(fields_ext, binned, cfg)
+    return (out, binned.num_instances, binned.overflow), (
+        fields_ext,
+        binned,
+        out,
+        rect,
+        depths,
+        valid,
+    )
+
+
+def _blend_bwd(cfg, res, cotangents):
+    g_out, _g_n, _g_ovf = cotangents
+    fields_ext, binned, out, rect, depths, valid = res
+    dfields = _blend_bwd_impl(fields_ext, binned, out, g_out, cfg)
+    return (
+        dfields,
+        _float0_like(rect),
+        jnp.zeros_like(depths),
+        _float0_like(valid),
+    )
+
+
+_blend.defvjp(_blend_fwd, _blend_bwd)
+
+
+def _untile(out: jnp.ndarray, cfg: RasterConfig) -> jnp.ndarray:
+    """[n_tiles+1, 4, P] -> [4, H, W]."""
+    tiles = out[: cfg.n_tiles]
+    t = tiles.reshape(cfg.tiles_y, cfg.tiles_x, 4, cfg.tile_h, cfg.tile_w)
+    t = t.transpose(2, 0, 3, 1, 4).reshape(
+        4, cfg.tiles_y * cfg.tile_h, cfg.tiles_x * cfg.tile_w
+    )
+    return t[:, : cfg.height, : cfg.width]
+
+
+def render(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    sh: jnp.ndarray,
+    camera: Camera,
+    cfg: RasterConfig,
+    bg: Optional[jnp.ndarray] = None,
+    active_sh_degree: Optional[int] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    scale_modifier: float = 1.0,
+    means2d_probe: Optional[jnp.ndarray] = None,
+) -> RenderOutput:
+    """Differentiable Gaussian-splat render of one camera.
+
+    `means2d_probe`: optional zeros [N, 2]; added to the projected 2D means so
+    callers can read screen-space positional gradients for densification
+    (the reference reads them off viewspace_points, sugar_densifier.py:156-164).
+    """
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+    proj = preprocess(
+        means3d,
+        scales,
+        quats,
+        opacities,
+        sh,
+        camera,
+        cfg,
+        active_sh_degree=active_sh_degree,
+        colors_precomp=colors_precomp,
+        cov3d_precomp=cov3d_precomp,
+        scale_modifier=scale_modifier,
+    )
+    if means2d_probe is not None:
+        proj = proj._replace(means2d=proj.means2d + means2d_probe)
+    fields_ext = pack_fields(proj)
+    out, num_instances, overflow = _blend(
+        cfg,
+        fields_ext,
+        jax.lax.stop_gradient(proj.rect),
+        jax.lax.stop_gradient(proj.depths),
+        jax.lax.stop_gradient(proj.valid),
+    )
+    img4 = _untile(out, cfg)
+    t_final = img4[3]
+    image = img4[:3] + t_final[None] * bg[:, None, None]
+    return RenderOutput(
+        image=image,
+        t_final=t_final,
+        radii=proj.radii,
+        num_instances=num_instances,
+        overflow=overflow,
+    )

@@ -1,0 +1,122 @@
+"""Rasterizer correctness: binned pure-JAX path vs the naive per-pixel
+oracle, forward and gradients (the BASELINE.json config-1 style check)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frosting_tpu.cameras import look_at_camera
+from frosting_tpu.ops import quat as quat_ops
+from frosting_tpu.raster import RasterConfig, render
+from frosting_tpu.raster.preprocess import preprocess
+from frosting_tpu.raster.reference import render_naive
+
+
+def make_scene(n=300, seed=0, opaque_wall=False):
+    rng = np.random.default_rng(seed)
+    means = rng.uniform(-0.8, 0.8, size=(n, 3))
+    scales = np.exp(rng.uniform(np.log(0.02), np.log(0.12), size=(n, 3)))
+    quats = rng.normal(size=(n, 4))
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    opac = rng.uniform(0.05, 0.995, size=(n,))
+    if opaque_wall:
+        opac[: n // 3] = 0.99
+    sh = rng.normal(size=(n, 16, 3)) * 0.3
+    sh[:, 0, :] += 1.0
+    return (
+        jnp.asarray(means, jnp.float32),
+        jnp.asarray(scales, jnp.float32),
+        jnp.asarray(quats, jnp.float32),
+        jnp.asarray(opac, jnp.float32),
+        jnp.asarray(sh, jnp.float32),
+    )
+
+
+CFG = RasterConfig(
+    width=64, height=64, tile_w=32, tile_h=32, chunk=32,
+    max_instances=32 * 1024, backend="jax",
+)
+CAM = look_at_camera(eye=[0.2, -0.3, -2.8], target=[0.0, 0.0, 0.0])
+BG = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+
+
+@pytest.mark.parametrize("opaque_wall", [False, True])
+def test_forward_matches_naive(opaque_wall):
+    gs = make_scene(opaque_wall=opaque_wall)
+    out = render(*gs, CAM, CFG, bg=BG)
+    proj = preprocess(*gs, CAM, CFG)
+    img_ref, t_ref = render_naive(proj, BG, CFG)
+    assert not bool(out.overflow)
+    assert int(out.num_instances) > 0
+    np.testing.assert_allclose(
+        np.asarray(out.image), np.asarray(img_ref), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.t_final), np.asarray(t_ref), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_gradients_match_naive_oracle():
+    gs = make_scene(n=200, seed=3)
+    target = jnp.asarray(
+        np.random.default_rng(9).uniform(size=(3, 64, 64)), jnp.float32
+    )
+
+    def loss_binned(means, scales, quats, opac, sh):
+        out = render(means, scales, quats, opac, sh, CAM, CFG, bg=BG)
+        return jnp.mean((out.image - target) ** 2) + 0.1 * jnp.mean(
+            out.t_final
+        )
+
+    def loss_naive(means, scales, quats, opac, sh):
+        proj = preprocess(means, scales, quats, opac, sh, CAM, CFG)
+        img, t = render_naive(proj, BG, CFG)
+        return jnp.mean((img - target) ** 2) + 0.1 * jnp.mean(t)
+
+    l1 = float(loss_binned(*gs))
+    l2 = float(loss_naive(*gs))
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+    g1 = jax.grad(loss_binned, argnums=(0, 1, 2, 3, 4))(*gs)
+    g2 = jax.grad(loss_naive, argnums=(0, 1, 2, 3, 4))(*gs)
+    names = ["means", "scales", "quats", "opacities", "sh"]
+    for name, a, b in zip(names, g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(
+            a / scale, b / scale, atol=5e-4, err_msg=f"grad mismatch: {name}"
+        )
+
+
+def test_behind_camera_culled():
+    gs = make_scene(n=50, seed=5)
+    means = np.array(gs[0])
+    means[:25, 2] = -10.0  # far behind the camera (camera looks from z=-2.8)
+    gs = (jnp.asarray(means),) + gs[1:]
+    out = render(*gs, CAM, CFG, bg=BG)
+    radii = np.asarray(out.radii)
+    assert (radii[:25] == 0).all()
+    assert np.isfinite(np.asarray(out.image)).all()
+
+
+def test_overflow_flag():
+    cfg_small = dataclasses.replace(CFG, max_instances=64)
+    gs = make_scene(n=300)
+    out = render(*gs, CAM, cfg_small, bg=BG)
+    assert bool(out.overflow)
+
+
+def test_means2d_probe_gradients():
+    gs = make_scene(n=100, seed=7)
+    probe = jnp.zeros((100, 2), jnp.float32)
+
+    def loss(p):
+        out = render(*gs, CAM, CFG, bg=BG, means2d_probe=p)
+        return jnp.sum(out.image)
+
+    g = np.asarray(jax.grad(loss)(probe))
+    assert np.isfinite(g).all()
+    assert (np.abs(g).sum(axis=1) > 0).any()
