@@ -110,6 +110,7 @@ def blend_forward_pallas(
         functools.partial(_forward_kernel, cfg=cfg),
         out_shape=jax.ShapeDtypeStruct((cfg.n_tiles + 1, 4, p), jnp.float32),
         grid_spec=grid_spec,
+        interpret=cfg.pallas_interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -219,6 +220,7 @@ def blend_backward_pallas(
             (cfg.padded_rows, INSTANCE_WIDTH), jnp.float32
         ),
         grid_spec=grid_spec,
+        interpret=cfg.pallas_interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

@@ -46,6 +46,8 @@ class RasterConfig:
     sh_degree: int = 3
     # Blend backend: "auto" (pallas on TPU, jax elsewhere), "pallas", "jax".
     backend: str = "auto"
+    # Run Pallas kernels in interpreter mode (CPU testing of the TPU path).
+    pallas_interpret: bool = False
 
     def __post_init__(self):
         if self.max_instances % self.chunk != 0:
