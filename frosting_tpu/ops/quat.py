@@ -9,11 +9,16 @@ uses r=q.x as the scalar part of the stored 4-vector).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    # sum-of-squares + clamped rsqrt keeps the GRADIENT finite at q == 0
+    # (jnp.linalg.norm's vjp is 0 * inf = NaN there), which matters for
+    # dead arena slots parked at zero.
+    sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    return q * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
 
 
 def to_matrix(q: jnp.ndarray) -> jnp.ndarray:

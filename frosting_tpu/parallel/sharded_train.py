@@ -1,0 +1,199 @@
+"""Multi-chip sharded training step: data (cameras) x tile (image strips)
+parallelism with primitive-sharded preprocess.
+
+The reference is strictly single-GPU (SURVEY.md §2 parallelism checklist);
+this is the greenfield TPU scale-out design:
+
+  mesh axes ("data", "tile")
+  * data  — camera/batch parallelism: each data-slice trains on a different
+    camera; gradients all-reduced (the dp analogue).
+  * tile  — intra-image parallelism: each device renders a horizontal strip
+    of the image (the sequence/context-parallel analogue; strips are
+    independent given their instance lists, so the exchange is halo-free).
+  * primitive sharding (the tp analogue): inside a tile group, per-Gaussian
+    preprocess (projection/EWA/SH) runs on a 1/n_tile slice of the cloud and
+    the projected set is all-gathered over ICI; the blend's backward
+    psum-scatters cotangents back to the owning shard automatically via the
+    all_gather VJP.
+
+Gradients for the replicated parameters are `psum` over both axes, fused by
+XLA with the backward pass. Densification runs on replicated state outside
+the sharded region (cheap, interval-based).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from frosting_tpu.cameras import Camera
+from frosting_tpu.ops.ssim import l1_loss, psnr, ssim
+from frosting_tpu.raster import RasterConfig
+from frosting_tpu.raster.preprocess import preprocess, shift_projected
+from frosting_tpu.raster.render import render_projected
+from frosting_tpu.scene.gaussians import GaussianParams, activate
+from frosting_tpu.train import densify as densify_lib
+from frosting_tpu.train.gs_trainer import GSTrainConfig, TrainState
+
+
+def make_mesh(n_data: int, n_tile: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < n_data * n_tile:
+        raise ValueError(
+            f"need {n_data * n_tile} devices, have {len(devices)}"
+        )
+    dev = np.asarray(devices[: n_data * n_tile]).reshape(n_data, n_tile)
+    return Mesh(dev, ("data", "tile"))
+
+
+def strip_config(rcfg: RasterConfig, n_tile: int) -> RasterConfig:
+    """Per-device raster config: a horizontal strip of the full image."""
+    if rcfg.height % n_tile != 0:
+        raise ValueError("image height must divide the tile axis")
+    strip_h = rcfg.height // n_tile
+    if strip_h % rcfg.tile_h != 0:
+        raise ValueError("strip height must divide the pixel-tile height")
+    max_inst = max(rcfg.chunk, (rcfg.max_instances // n_tile) // rcfg.chunk * rcfg.chunk)
+    return dataclasses.replace(
+        rcfg,
+        height=strip_h,
+        proj_width=rcfg.projection_width,
+        proj_height=rcfg.projection_height,
+        max_instances=max_inst,
+    )
+
+
+def make_sharded_train_step(
+    tx,
+    rcfg: RasterConfig,
+    cfg: GSTrainConfig,
+    mesh: Mesh,
+):
+    """Returns jitted step(state, cam_batch, gt_batch) -> (state, metrics).
+
+    cam_batch: Camera pytree with leading dim n_data (sharded over "data").
+    gt_batch:  [n_data, 3, H, W] (sharded over ("data", None, "tile", None)).
+    Parameters/optimizer state are replicated.
+    """
+    n_data = mesh.shape["data"]
+    n_tile = mesh.shape["tile"]
+    s_cfg = strip_config(rcfg, n_tile)
+    strip_h = s_cfg.height
+    bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
+
+    def device_loss(params, camera, gt_strip, probe, active_deg):
+        """Runs per device inside shard_map."""
+        tile_idx = jax.lax.axis_index("tile")
+        y0 = tile_idx * strip_h
+
+        means, scales, quats, opac, sh = activate(params)
+        n = means.shape[0]
+        shard = n // n_tile
+
+        # --- primitive-sharded preprocess (tp analogue) ---
+        # Each device projects its Gaussian shard in the FULL-image pixel
+        # frame (strip-independent), all-gathers, then shifts into its own
+        # strip's frame and recomputes the tile rect locally.
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, tile_idx * shard, shard)
+        proj_local = preprocess(
+            sl(means), sl(scales), sl(quats), sl(opac), sl(sh),
+            camera, rcfg, active_sh_degree=active_deg,
+        )
+        proj = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, "tile", tiled=True), proj_local
+        )
+        proj = shift_projected(proj, (0, y0), s_cfg)
+        proj = proj._replace(means2d=proj.means2d + probe)
+
+        out = render_projected(proj, s_cfg, bg=bg)
+        # Strip losses: L1 exact (pixel mean decomposes over strips); SSIM
+        # per-strip then averaged (windowed stats don't cross strip seams —
+        # a documented deviation of the sharded loss).
+        ll1 = l1_loss(out.image, gt_strip)
+        loss = (1.0 - cfg.lambda_dssim) * ll1 + cfg.lambda_dssim * (
+            1.0 - ssim(out.image, gt_strip)
+        )
+        # Normalize so the psum over (data, tile) equals the batch-mean of
+        # per-image losses (strip L1s average to the image L1; D-SSIM is the
+        # mean of per-strip values).
+        loss = loss / (n_data * n_tile)
+        aux = (out.radii, out.num_instances, out.overflow,
+               psnr(jnp.clip(out.image, 0, 1), gt_strip))
+        return loss, aux
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data", None, "tile", None), P()),
+        out_specs=(P(), P(), P(), P()),
+    )
+    def sharded_grads(params, cams, gts, probe):
+        camera = jax.tree.map(lambda x: x[0], cams)
+        gt_strip = gts[0]
+
+        def lf(p, pr):
+            return device_loss(p, camera, gt_strip, pr, cfg.sh_degree)
+
+        (loss, aux), (grads, probe_grad) = jax.value_and_grad(
+            lf, argnums=(0, 1), has_aux=True
+        )(params, probe)
+        radii_local, n_inst, ovf, psnr_strip = aux
+        grads = jax.lax.psum(grads, ("data", "tile"))
+        probe_grad = jax.lax.psum(probe_grad, ("data", "tile"))
+        loss = jax.lax.psum(loss, ("data", "tile"))
+        radii = jax.lax.pmax(radii_local, ("data", "tile"))
+        stats = jnp.stack(
+            [
+                jnp.float32(n_inst),
+                jnp.float32(ovf),
+                psnr_strip,
+            ]
+        )
+        stats = jax.lax.pmax(stats, ("data", "tile"))
+        return loss, grads, probe_grad, (radii, stats)
+
+    import optax
+
+    @jax.jit
+    def step(state: TrainState, cam_batch, gt_batch):
+        probe0 = jnp.zeros((state.params.capacity, 2), jnp.float32)
+        loss, grads, probe_grad, (radii, stats) = sharded_grads(
+            state.params, cam_batch, gt_batch, probe0
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        dstate = densify_lib.update_stats(
+            state.dstate, probe_grad, radii, params.mask
+        )
+        max_radii = jnp.maximum(state.max_radii, radii.astype(jnp.float32))
+        metrics = {
+            "loss": loss,
+            "num_instances": stats[0],
+            "overflow": stats[1],
+            "psnr_strip": stats[2],
+        }
+        return TrainState(params, opt_state, dstate, max_radii), metrics
+
+    return step
+
+
+def shard_batch(mesh: Mesh, cam_batch: Camera, gt_batch: jnp.ndarray):
+    """Place a camera/GT batch with the step's expected shardings."""
+    cam_sharding = NamedSharding(mesh, P("data"))
+    gt_sharding = NamedSharding(mesh, P("data", None, "tile", None))
+    cams = jax.tree.map(
+        lambda x: jax.device_put(x, cam_sharding), cam_batch
+    )
+    gts = jax.device_put(gt_batch, gt_sharding)
+    return cams, gts
+
+
+def stack_cameras(cams: List[Camera]) -> Camera:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cams)

@@ -32,7 +32,10 @@ def blend_forward_jax(
     k = cfg.chunk
     p = cfg.tile_pixels
 
-    out = jnp.zeros((cfg.n_tiles + 1, 4, p), jnp.float32)
+    # Inherit the device-varying type of the data (no-op numerically) so the
+    # scan carry is consistent under shard_map's varying-manual-axes check.
+    taint = jnp.where(jnp.bool_(False), padded_fields[0, 0], jnp.float32(0))
+    out = jnp.zeros((cfg.n_tiles + 1, 4, p), jnp.float32) + taint
 
     def body(carry, xs):
         out, t_all, t_mask, color = carry
@@ -48,21 +51,18 @@ def blend_forward_jax(
             fields, t_all, t_mask, color, px, py
         )
         tile_out = jnp.concatenate([color, t_mask], axis=0)  # (4, P)
-        out = jax.lax.cond(
-            last == 1,
-            lambda o: jax.lax.dynamic_update_slice(
-                o, tile_out[None], (out_row, 0, 0)
-            ),
-            lambda o: o,
-            out,
-        )
+        # branchless conditional write (lax.cond breaks under shard_map's
+        # varying-manual-axes tracking)
+        cur = jax.lax.dynamic_slice(out, (out_row, 0, 0), (1, 4, p))
+        new = jnp.where(last == 1, tile_out[None], cur)
+        out = jax.lax.dynamic_update_slice(out, new, (out_row, 0, 0))
         return (out, t_all, t_mask, color), None
 
     init = (
         out,
-        jnp.ones((1, p), jnp.float32),
-        jnp.ones((1, p), jnp.float32),
-        jnp.zeros((3, p), jnp.float32),
+        jnp.ones((1, p), jnp.float32) + taint,
+        jnp.ones((1, p), jnp.float32) + taint,
+        jnp.zeros((3, p), jnp.float32) + taint,
     )
     xs = (
         binned.work_block,
@@ -86,7 +86,9 @@ def blend_backward_jax(
     """Returns per-instance gradient rows [padded_rows, 16]."""
     k = cfg.chunk
     p = cfg.tile_pixels
-    grads = jnp.zeros_like(padded_fields)
+    taint = jnp.where(jnp.bool_(False), padded_fields[0, 0], jnp.float32(0))
+    taint = taint + jnp.where(jnp.bool_(False), g_out[0, 0, 0], jnp.float32(0))
+    grads = jnp.zeros_like(padded_fields) + taint
 
     def body(carry, xs):
         grads, t_all, gc_pre = carry
@@ -113,8 +115,8 @@ def blend_backward_jax(
 
     init = (
         grads,
-        jnp.ones((1, p), jnp.float32),
-        jnp.zeros((1, p), jnp.float32),
+        jnp.ones((1, p), jnp.float32) + taint,
+        jnp.zeros((1, p), jnp.float32) + taint,
     )
     xs = (
         binned.work_block,

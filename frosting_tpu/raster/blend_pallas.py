@@ -53,29 +53,32 @@ def _forward_kernel(
     w = pl.program_id(0)
     first = s_first[w]
     last = s_last[w]
+    is_real = s_out[w] < cfg.n_tiles  # dummy items point at the trash row
 
-    @pl.when(first == 1)
+    @pl.when(is_real)
     def _():
-        color_ref[...] = jnp.zeros_like(color_ref)
-        t_ref[...] = jnp.ones_like(t_ref)
+        @pl.when(first == 1)
+        def _():
+            color_ref[...] = jnp.zeros_like(color_ref)
+            t_ref[...] = jnp.ones_like(t_ref)
 
-    px, py = _pixel_coords(s_px0[w], s_py0[w], cfg)
-    t_all, t_mask, color = chunk_math.forward_chunk(
-        inst_ref[...],
-        t_ref[0:1],
-        t_ref[1:2],
-        color_ref[...],
-        px,
-        py,
-    )
-    color_ref[...] = color
-    t_ref[0:1] = t_all
-    t_ref[1:2] = t_mask
+        px, py = _pixel_coords(s_px0[w], s_py0[w], cfg)
+        t_all, t_mask, color = chunk_math.forward_chunk(
+            inst_ref[...],
+            t_ref[0:1],
+            t_ref[1:2],
+            color_ref[...],
+            px,
+            py,
+        )
+        color_ref[...] = color
+        t_ref[0:1] = t_all
+        t_ref[1:2] = t_mask
 
-    @pl.when(last == 1)
-    def _():
-        out_ref[0, 0:3] = color
-        out_ref[0, 3:4] = t_mask
+        @pl.when(last == 1)
+        def _():
+            out_ref[0, 0:3] = color
+            out_ref[0, 3:4] = t_mask
 
 
 def blend_forward_pallas(
@@ -146,33 +149,36 @@ def _backward_kernel(
 ):
     w = pl.program_id(0)
     first = s_first[w]
+    is_real = s_out[w] < cfg.n_tiles
 
-    @pl.when(first == 1)
+    @pl.when(is_real)
     def _():
-        carry_ref[0:1] = jnp.ones_like(carry_ref[0:1])
-        carry_ref[1:2] = jnp.zeros_like(carry_ref[1:2])
+        @pl.when(first == 1)
+        def _():
+            carry_ref[0:1] = jnp.ones_like(carry_ref[0:1])
+            carry_ref[1:2] = jnp.zeros_like(carry_ref[1:2])
 
-    g_color = g_ref[0, 0:3]
-    g_tmask = g_ref[0, 3:4]
-    c_total = fwd_ref[0, 0:3]
-    t_final_mask = fwd_ref[0, 3:4]
-    gc_total = jnp.sum(g_color * c_total, axis=0, keepdims=True)
+        g_color = g_ref[0, 0:3]
+        g_tmask = g_ref[0, 3:4]
+        c_total = fwd_ref[0, 0:3]
+        t_final_mask = fwd_ref[0, 3:4]
+        gc_total = jnp.sum(g_color * c_total, axis=0, keepdims=True)
 
-    px, py = _pixel_coords(s_px0[w], s_py0[w], cfg)
-    grad_rows, t_all, gc_pre = chunk_math.backward_chunk(
-        inst_ref[...],
-        g_color,
-        g_tmask,
-        gc_total,
-        t_final_mask,
-        carry_ref[0:1],
-        carry_ref[1:2],
-        px,
-        py,
-    )
-    carry_ref[0:1] = t_all
-    carry_ref[1:2] = gc_pre
-    grad_ref[...] = grad_rows
+        px, py = _pixel_coords(s_px0[w], s_py0[w], cfg)
+        grad_rows, t_all, gc_pre = chunk_math.backward_chunk(
+            inst_ref[...],
+            g_color,
+            g_tmask,
+            gc_total,
+            t_final_mask,
+            carry_ref[0:1],
+            carry_ref[1:2],
+            px,
+            py,
+        )
+        carry_ref[0:1] = t_all
+        carry_ref[1:2] = gc_pre
+        grad_ref[...] = grad_rows
 
 
 def blend_backward_pallas(

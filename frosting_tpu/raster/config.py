@@ -28,6 +28,11 @@ class RasterConfig:
 
     width: int
     height: int
+    # Full-image dimensions used for projection (NDC->pixel and focal
+    # lengths). Differ from width/height when rendering a sub-rectangle
+    # (tile-axis sharding renders horizontal strips). 0 = same as width/height.
+    proj_width: int = 0
+    proj_height: int = 0
     # Pixel tile processed by one blend program. 32x32=1024 pixels fills the
     # 8x128 VPU exactly; the CUDA reference uses 16x16 (config.h:15-17) but
     # tile size only affects the conservative rect-inclusion set, not the
@@ -54,6 +59,14 @@ class RasterConfig:
             raise ValueError("max_instances must be a multiple of chunk")
         if self.tile_pixels % 128 != 0:
             raise ValueError("tile_w*tile_h must be a multiple of 128 (lanes)")
+
+    @property
+    def projection_width(self) -> int:
+        return self.proj_width or self.width
+
+    @property
+    def projection_height(self) -> int:
+        return self.proj_height or self.height
 
     @property
     def tiles_x(self) -> int:

@@ -43,6 +43,7 @@ def preprocess(
     colors_precomp: jnp.ndarray | None = None,
     cov3d_precomp: jnp.ndarray | None = None,
     scale_modifier: float = 1.0,
+    pixel_offset=(0, 0),
 ) -> Projected:
     deg = cfg.sh_degree if active_sh_degree is None else active_sh_degree
     f32 = jnp.float32
@@ -60,15 +61,19 @@ def preprocess(
     p_hom = dot_hi(homog, camera.full_proj)  # [N, 4]
     p_w = 1.0 / (p_hom[..., 3] + 1e-7)
     ndc = p_hom[..., :2] * p_w[..., None]
-    mean_x = ndc_to_pix(ndc[..., 0], cfg.width)
-    mean_y = ndc_to_pix(ndc[..., 1], cfg.height)
+    # Projection always uses FULL image dims; pixel_offset shifts into the
+    # rendered sub-rectangle's frame (tile-axis sharding renders strips).
+    mean_x = ndc_to_pix(ndc[..., 0], cfg.projection_width) - pixel_offset[0]
+    mean_y = ndc_to_pix(ndc[..., 1], cfg.projection_height) - pixel_offset[1]
     means2d = jnp.stack([mean_x, mean_y], axis=-1)
 
     if cov3d_precomp is None:
         cov6 = cov_ops.cov3d_from_scale_quat(scales * scale_modifier, quats)
     else:
         cov6 = cov3d_precomp
-    focal_x, focal_y = camera.focals(cfg.width, cfg.height)
+    focal_x, focal_y = camera.focals(
+        cfg.projection_width, cfg.projection_height
+    )
     cov2d = cov_ops.ewa_project(
         means3d, cov6, camera.world_view, focal_x, focal_y,
         camera.tan_fov_x, camera.tan_fov_y,
@@ -112,6 +117,41 @@ def preprocess(
         rect=rect,
         valid=valid,
     )
+
+
+def rect_for_grid(
+    means2d: jnp.ndarray, radii: jnp.ndarray, cfg: RasterConfig
+):
+    """Tile-rect + validity of already-projected Gaussians against cfg's
+    tile grid (same formula as preprocess; used when re-targeting a
+    projection to a sub-rectangle)."""
+    r = radii.astype(jnp.float32)
+    mean_x, mean_y = means2d[..., 0], means2d[..., 1]
+    tx0 = jnp.clip((mean_x - r) // cfg.tile_w, 0, cfg.tiles_x).astype(jnp.int32)
+    ty0 = jnp.clip((mean_y - r) // cfg.tile_h, 0, cfg.tiles_y).astype(jnp.int32)
+    tx1 = jnp.clip(
+        (mean_x + r + cfg.tile_w - 1) // cfg.tile_w, 0, cfg.tiles_x
+    ).astype(jnp.int32)
+    ty1 = jnp.clip(
+        (mean_y + r + cfg.tile_h - 1) // cfg.tile_h, 0, cfg.tiles_y
+    ).astype(jnp.int32)
+    area = (tx1 - tx0) * (ty1 - ty0)
+    valid = (radii > 0) & (area > 0)
+    return jnp.stack([tx0, ty0, tx1, ty1], axis=-1), valid
+
+
+def shift_projected(
+    proj: Projected, pixel_offset, strip_cfg: RasterConfig
+) -> Projected:
+    """Re-target a full-image projection to a sub-rectangle: shift the 2D
+    means into the strip's pixel frame and recompute the tile rect against
+    the strip's grid. Used by the tile-sharded path AFTER all-gathering
+    primitive-sharded preprocess results."""
+    means2d = proj.means2d - jnp.asarray(
+        [pixel_offset[0], pixel_offset[1]], jnp.float32
+    )
+    rect, valid = rect_for_grid(means2d, proj.radii, strip_cfg)
+    return proj._replace(means2d=means2d, rect=rect, valid=valid)
 
 
 def pack_fields(proj: Projected) -> jnp.ndarray:

@@ -127,6 +127,7 @@ def render(
     cov3d_precomp: Optional[jnp.ndarray] = None,
     scale_modifier: float = 1.0,
     means2d_probe: Optional[jnp.ndarray] = None,
+    pixel_offset=(0, 0),
 ) -> RenderOutput:
     """Differentiable Gaussian-splat render of one camera.
 
@@ -134,8 +135,6 @@ def render(
     callers can read screen-space positional gradients for densification
     (the reference reads them off viewspace_points, sugar_densifier.py:156-164).
     """
-    if bg is None:
-        bg = jnp.zeros((3,), jnp.float32)
     proj = preprocess(
         means3d,
         scales,
@@ -148,9 +147,20 @@ def render(
         colors_precomp=colors_precomp,
         cov3d_precomp=cov3d_precomp,
         scale_modifier=scale_modifier,
+        pixel_offset=pixel_offset,
     )
     if means2d_probe is not None:
         proj = proj._replace(means2d=proj.means2d + means2d_probe)
+    return render_projected(proj, cfg, bg=bg)
+
+
+def render_projected(
+    proj: Projected, cfg: RasterConfig, bg: Optional[jnp.ndarray] = None
+) -> RenderOutput:
+    """Blend an already-projected Gaussian set (used by the sharded path,
+    where preprocess is primitive-sharded and all-gathered)."""
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
     fields_ext = pack_fields(proj)
     out, num_instances, overflow = _blend(
         cfg,

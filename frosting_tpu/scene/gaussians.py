@@ -95,6 +95,10 @@ def create_from_pcd(
 
     quats = np.zeros((n, 4), np.float32)
     quats[:, 0] = 1.0
+    # park dead slots at the identity quaternion (not zero)
+    quats_full = np.zeros((capacity, 4), np.float32)
+    quats_full[:, 0] = 1.0
+    quats_full[:n] = quats
     mask = np.zeros((capacity,), np.float32)
     mask[:n] = 1.0
 
@@ -108,7 +112,7 @@ def create_from_pcd(
         sh_dc=park(np.asarray(sh_ops.rgb_to_sh(colors))[:, None, :]),
         sh_rest=park(np.zeros((n, k - 1, 3), np.float32)),
         scales_log=park(scales_log, fill=-10.0),
-        quats_raw=park(quats),
+        quats_raw=jnp.asarray(quats_full),
         opacities_raw=park(
             np.full((n,), float(inverse_sigmoid(jnp.asarray(init_opacity)))),
             fill=-15.0,

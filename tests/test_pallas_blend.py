@@ -16,7 +16,7 @@ CAM = look_at_camera(eye=[0.2, -0.3, -2.8], target=[0.0, 0.0, 0.0])
 BG = jnp.asarray([0.3, 0.1, 0.2], jnp.float32)
 CFG_JAX = RasterConfig(
     width=64, height=64, tile_w=32, tile_h=32, chunk=32,
-    max_instances=32 * 1024, backend="jax",
+    max_instances=8192, backend="jax",
 )
 CFG_PALLAS = dataclasses.replace(CFG_JAX, backend="pallas", pallas_interpret=True)
 

@@ -37,7 +37,7 @@ def make_scene(n=300, seed=0, opaque_wall=False):
 
 CFG = RasterConfig(
     width=64, height=64, tile_w=32, tile_h=32, chunk=32,
-    max_instances=32 * 1024, backend="jax",
+    max_instances=8192, backend="jax",
 )
 CAM = look_at_camera(eye=[0.2, -0.3, -2.8], target=[0.0, 0.0, 0.0])
 BG = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
