@@ -1,0 +1,129 @@
+"""Gaussian density / SDF field evaluation (the SuGaR field machinery).
+
+Pure-JAX re-derivation of SuGaR.get_field_values / get_beta
+(frosting_scene/sugar_model.py:1203-1347): the density at x is the sum of
+the K tracked neighbor Gaussians' un-normalized opacities
+  d(x) = sum_j s_j exp(-1/2 || diag(1/sc_j) R_j^T (x - mu_j) ||^2),
+the SDF is the beta-scaled log transform
+  sdf(x) = beta(x) (sqrt(-2 log d(x)) - sqrt(-2 log level)).
+
+Everything is a batched gather-and-reduce over [M, K] neighbor sets —
+one fused XLA kernel per call; no Python loops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from frosting_tpu.ops import quat as quat_ops
+
+
+class FieldValues(NamedTuple):
+    density: jnp.ndarray  # [M] raw density (pre-normalization)
+    density_norm: jnp.ndarray  # [M] clamp-normalized (<= ~1)
+    neighbor_opacities: jnp.ndarray  # [M, K]
+    beta: jnp.ndarray  # [M]
+    sdf: jnp.ndarray  # [M]
+
+
+def neighbor_opacities(
+    x: jnp.ndarray,  # [M, 3]
+    knn_idx: jnp.ndarray,  # [M, K]
+    centers: jnp.ndarray,  # [N, 3]
+    strengths: jnp.ndarray,  # [N]
+    scales: jnp.ndarray,  # [N, 3] activated
+    quats: jnp.ndarray,  # [N, 4] unit
+    density_factor: float = 1.0,
+) -> jnp.ndarray:
+    """[M, K] per-neighbor un-normalized opacity contributions
+    (sugar_model.py:1305-1309)."""
+    mu = centers[knn_idx]  # [M, K, 3]
+    shift = x[:, None, :] - mu
+    R = quat_ops.to_matrix(quats[knn_idx])  # [M, K, 3, 3]
+    inv_s = 1.0 / jnp.maximum(scales[knn_idx], 1e-12)
+    # warped = diag(1/s) R^T shift
+    warped = inv_s * jnp.einsum("mkab,mkb->mka", jnp.swapaxes(R, -1, -2), shift)
+    maha = jnp.clip(jnp.sum(warped * warped, axis=-1), 0.0, 1e8)
+    return density_factor * strengths[knn_idx] * jnp.exp(-0.5 * maha)
+
+
+def field_values(
+    x: jnp.ndarray,
+    knn_idx: jnp.ndarray,
+    centers: jnp.ndarray,
+    strengths: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    beta_mode: str = "weighted_average",
+    log_beta: Optional[jnp.ndarray] = None,
+    density_threshold: float = 1.0,
+    density_factor: float = 1.0,
+    opacity_min_clamp: float = 1e-16,
+) -> FieldValues:
+    nb = neighbor_opacities(
+        x, knn_idx, centers, strengths, scales, quats, density_factor
+    )
+    density = jnp.sum(nb, axis=-1)
+    # soft clamp at 1: d>=1 -> d / stop_grad(d) (sugar_model.py:1311-1312)
+    density_norm = jnp.where(
+        density >= 1.0,
+        density / (jax.lax.stop_gradient(density) + 1e-12),
+        density,
+    )
+
+    min_scaling = jnp.min(scales, axis=-1)[knn_idx]  # [M, K]
+    if beta_mode == "learnable":
+        if log_beta is None:
+            raise ValueError("log_beta required for learnable beta")
+        beta = jnp.exp(log_beta) * jnp.ones(x.shape[0], x.dtype)
+    elif beta_mode == "average":
+        beta = jnp.mean(min_scaling, axis=-1)
+    elif beta_mode == "weighted_average":
+        # (sugar_model.py get_beta, "Method 3": zero-opacity points get the
+        # scene's largest min-scale so their sdf stays nonzero)
+        op_sum = jnp.sum(nb, axis=-1, keepdims=True)
+        weights = nb / jnp.maximum(op_sum, opacity_min_clamp)
+        beta = jnp.sum(min_scaling * weights, axis=-1)
+        fallback = jax.lax.stop_gradient(jnp.max(min_scaling))
+        beta = jnp.where(op_sum[..., 0] == 0.0, fallback, beta)
+    else:
+        raise ValueError(f"unknown beta_mode {beta_mode}")
+
+    clamped = jnp.maximum(density_norm, opacity_min_clamp)
+    level_term = jnp.sqrt(-2.0 * jnp.log(jnp.minimum(density_threshold, 1.0)))
+    sdf = beta * (jnp.sqrt(-2.0 * jnp.log(clamped)) - level_term)
+    return FieldValues(
+        density=density,
+        density_norm=density_norm,
+        neighbor_opacities=nb,
+        beta=beta,
+        sdf=sdf,
+    )
+
+
+def sample_points_in_gaussians(
+    key: jnp.ndarray,
+    n_samples: int,
+    centers: jnp.ndarray,  # [N, 3]
+    scales: jnp.ndarray,  # [N, 3]
+    quats: jnp.ndarray,  # [N, 4]
+    weights: jnp.ndarray,  # [N] sampling probabilities (e.g. volumes)
+    scale_factor: float = 1.0,
+    mask: Optional[jnp.ndarray] = None,
+):
+    """Sample points inside Gaussians, choosing Gaussians ~ weights
+    (sugar_model.py:916-959 sample_points_in_gaussians). Returns
+    (points [S, 3], gaussian_idx [S])."""
+    if mask is not None:
+        weights = weights * mask
+    k1, k2 = jax.random.split(key)
+    p = weights / jnp.maximum(jnp.sum(weights), 1e-12)
+    idx = jax.random.categorical(
+        k1, jnp.log(jnp.maximum(p, 1e-30)), shape=(n_samples,)
+    )
+    eps = jax.random.normal(k2, (n_samples, 3)) * scales[idx] * scale_factor
+    offs = jnp.einsum("sij,sj->si", quat_ops.to_matrix(quats[idx]), eps)
+    return centers[idx] + offs, idx

@@ -1,0 +1,114 @@
+"""KNN recall vs exact (scipy), density/SDF field parity vs a direct dense
+computation, SuGaR loss sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial import cKDTree
+
+from frosting_tpu.models import fields, sugar
+from frosting_tpu.ops import knn as knn_lib
+from frosting_tpu.ops import quat as quat_ops
+
+
+def _cloud(n=2000, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    return pts
+
+
+def test_knn_recall():
+    pts = _cloud()
+    idx, d2 = knn_lib.knn(jnp.asarray(pts), k=8, window=48, n_grids=2)
+    tree = cKDTree(pts)
+    d_ref, i_ref = tree.query(pts, k=9)
+    i_ref = i_ref[:, 1:]  # drop self
+    recall = np.mean(
+        [len(set(a) & set(b)) / 8 for a, b in zip(np.asarray(idx), i_ref)]
+    )
+    assert recall > 0.85, recall
+    # distances of found neighbors must be exact
+    n = pts.shape[0]
+    d_check = np.sum(
+        (pts[np.asarray(idx)] - pts[:, None]) ** 2, -1
+    )
+    np.testing.assert_allclose(np.asarray(d2), d_check, rtol=1e-4, atol=1e-6)
+
+
+def test_density_field_matches_dense():
+    rng = np.random.default_rng(1)
+    n, m, k = 200, 64, 16
+    centers = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    scales = np.exp(rng.uniform(np.log(0.05), np.log(0.2), (n, 3))).astype(
+        np.float32
+    )
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    strengths = rng.uniform(0.2, 1.0, n).astype(np.float32)
+    x = rng.uniform(-1, 1, (m, 3)).astype(np.float32)
+
+    # exact KNN sets
+    tree = cKDTree(centers)
+    _, knn_idx = tree.query(x, k=k)
+
+    fv = fields.field_values(
+        jnp.asarray(x), jnp.asarray(knn_idx), jnp.asarray(centers),
+        jnp.asarray(strengths), jnp.asarray(scales), jnp.asarray(quats),
+        beta_mode="average",
+    )
+
+    # dense numpy reference over exactly the same neighbor sets
+    R = np.asarray(quat_ops.to_matrix(jnp.asarray(quats)))
+    dens = np.zeros(m)
+    for i in range(m):
+        for j in knn_idx[i]:
+            shift = x[i] - centers[j]
+            w = (R[j].T @ shift) / scales[j]
+            dens[i] += strengths[j] * np.exp(-0.5 * np.dot(w, w))
+    np.testing.assert_allclose(np.asarray(fv.density), dens, rtol=2e-4)
+    # sdf: positive outside (low density), ~0 at density 1
+    assert np.all(np.asarray(fv.sdf)[dens < 0.99] > 0)
+
+
+def test_sugar_losses_finite_and_meaningful():
+    rng = np.random.default_rng(2)
+    n = 500
+    centers = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    scales = np.exp(rng.uniform(np.log(0.02), np.log(0.1), (n, 3))).astype(
+        np.float32
+    )
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.1, 0.9, n).astype(np.float32)
+    knn_idx, _ = knn_lib.knn(jnp.asarray(centers), k=8)
+
+    ent = sugar.entropy_loss(
+        jnp.asarray(opac), jnp.ones(n, bool)
+    )
+    assert 0.0 < float(ent) < 0.7
+
+    inp = sugar.sample_sdf_points(
+        jax.random.key(0), jnp.asarray(centers), jnp.asarray(scales),
+        jnp.asarray(quats), knn_idx, jnp.ones(n, bool), 1024,
+    )
+    l_sdf = sugar.sdf_estimation_density_loss(
+        inp, jnp.asarray(centers), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opac),
+    )
+    l_nrm = sugar.better_normal_loss(
+        inp, jnp.asarray(centers), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opac),
+    )
+    assert np.isfinite(float(l_sdf)) and float(l_sdf) > 0
+    assert np.isfinite(float(l_nrm)) and float(l_nrm) > 0
+
+    # gradients flow and are finite
+    def total(s):
+        i2 = inp._replace(samples=inp.samples)
+        return sugar.sdf_estimation_density_loss(
+            i2, jnp.asarray(centers), s, jnp.asarray(quats), jnp.asarray(opac)
+        )
+
+    g = jax.grad(total)(jnp.asarray(scales))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
