@@ -1,0 +1,102 @@
+"""Mesh/point cleaning: outlier removal, decimation, connected components.
+
+Host-side replacements for the Open3D calls in the extraction stage
+(remove_statistical_outlier coarse_shell.py:430, simplify_quadric_decimation
+:488, cluster_connected_triangles :601, remove_triangles_by_mask :616).
+Decimation uses vertex clustering (uniform grid, cluster-mean positions) —
+robust and O(V); a QEM decimator can swap in later without API change.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+from scipy.sparse import coo_matrix
+from scipy.sparse.csgraph import connected_components
+from scipy.spatial import cKDTree
+
+
+def remove_statistical_outliers(
+    points: np.ndarray, k: int = 20, std_ratio: float = 2.0, extra=None
+):
+    """Drop points whose mean k-NN distance exceeds mean + std_ratio*std.
+    Returns (filtered points, keep mask); `extra` arrays are filtered too."""
+    tree = cKDTree(points)
+    d, _ = tree.query(points, k=k + 1, workers=-1)
+    md = d[:, 1:].mean(axis=1)
+    keep = md <= md.mean() + std_ratio * md.std()
+    out = points[keep]
+    if extra is not None:
+        return out, keep, [e[keep] for e in extra]
+    return out, keep
+
+
+def decimate_vertex_clustering(
+    verts: np.ndarray, faces: np.ndarray, target_vertices: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Cluster vertices on a uniform grid sized to approximate
+    target_vertices; collapse faces, drop degenerates."""
+    if len(verts) <= target_vertices:
+        return verts, faces
+    lo, hi = verts.min(0), verts.max(0)
+    span = np.maximum(hi - lo, 1e-12)
+    # surface scaling: occupied cells ~ (res)^2 for a surface -> res from
+    # sqrt; refine by iteration
+    res = max(4, int(np.sqrt(target_vertices) * 1.3))
+    for _ in range(8):
+        cell = np.floor((verts - lo) / span * (res - 1e-6)).astype(np.int64)
+        key = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
+        uniq, inv = np.unique(key, return_inverse=True)
+        if len(uniq) <= target_vertices * 1.1:
+            break
+        res = int(res * 0.8)
+    # cluster means
+    new_verts = np.zeros((len(uniq), 3))
+    cnt = np.zeros(len(uniq))
+    np.add.at(new_verts, inv, verts)
+    np.add.at(cnt, inv, 1.0)
+    new_verts /= cnt[:, None]
+    new_faces = inv[faces]
+    good = (
+        (new_faces[:, 0] != new_faces[:, 1])
+        & (new_faces[:, 1] != new_faces[:, 2])
+        & (new_faces[:, 0] != new_faces[:, 2])
+    )
+    new_faces = new_faces[good]
+    # drop duplicate faces
+    sf = np.sort(new_faces, axis=1)
+    _, first = np.unique(sf, axis=0, return_index=True)
+    new_faces = new_faces[np.sort(first)]
+    return new_verts, new_faces
+
+
+def face_components(faces: np.ndarray, n_verts: int) -> np.ndarray:
+    """Label connected components over shared vertices. Returns per-face
+    component ids."""
+    f = np.asarray(faces)
+    rows = np.concatenate([f[:, 0], f[:, 1]])
+    cols = np.concatenate([f[:, 1], f[:, 2]])
+    graph = coo_matrix(
+        (np.ones(len(rows)), (rows, cols)), shape=(n_verts, n_verts)
+    )
+    _, vlabels = connected_components(graph, directed=False)
+    return vlabels[f[:, 0]]
+
+
+def keep_faces(
+    verts: np.ndarray, faces: np.ndarray, mask: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Keep masked faces and compact unused vertices."""
+    f = faces[mask]
+    used = np.zeros(len(verts), bool)
+    used[f] = True
+    remap = np.cumsum(used) - 1
+    return verts[used], remap[f]
+
+
+def largest_component(verts, faces):
+    labels = face_components(faces, len(verts))
+    vals, cnts = np.unique(labels, return_counts=True)
+    best = vals[np.argmax(cnts)]
+    return keep_faces(verts, faces, labels == best)

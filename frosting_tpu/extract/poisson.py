@@ -1,0 +1,121 @@
+"""Poisson surface reconstruction as an FFT solve (TPU-native).
+
+Replaces Open3D's create_from_point_cloud_poisson (coarse_shell.py:437-466)
+with a uniform-grid screened-Poisson-style reconstruction that maps onto
+the TPU: trilinear normal splatting (scatter-add), a spectral Laplacian
+inverse (three jnp.fft FFTs), and an iso level chosen as the mean indicator
+value at the input samples — the same normalization Kazhdan's SPSR uses.
+The adaptive octree of SPSR is traded for a dense grid (128-256^3 fits HBM
+easily), which suits the bounded, extent-normalized scenes of the pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _trilinear_scatter(grid, pts01, values, n):
+    """Scatter-add values [P, C] into grid [n, n, n, C] at normalized
+    coords pts01 in [0,1]."""
+    x = jnp.clip(pts01 * (n - 1), 0.0, n - 1 - 1e-4)
+    i0 = jnp.floor(x).astype(jnp.int32)
+    f = x - i0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (f[:, 0] if dx else 1 - f[:, 0])
+                    * (f[:, 1] if dy else 1 - f[:, 1])
+                    * (f[:, 2] if dz else 1 - f[:, 2])
+                )
+                grid = grid.at[
+                    i0[:, 0] + dx, i0[:, 1] + dy, i0[:, 2] + dz
+                ].add(values * w[:, None])
+    return grid
+
+
+def _trilinear_sample(grid, pts01, n):
+    """Sample grid [n, n, n] at normalized coords [P, 3]."""
+    x = jnp.clip(pts01 * (n - 1), 0.0, n - 1 - 1e-4)
+    i0 = jnp.floor(x).astype(jnp.int32)
+    f = x - i0
+    out = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (f[:, 0] if dx else 1 - f[:, 0])
+                    * (f[:, 1] if dy else 1 - f[:, 1])
+                    * (f[:, 2] if dz else 1 - f[:, 2])
+                )
+                out = out + w * grid[
+                    i0[:, 0] + dx, i0[:, 1] + dy, i0[:, 2] + dz
+                ]
+    return out
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _poisson_grid(points01, normals, n: int):
+    # V = -n (indicator falls from 1 inside to 0 outside along the normal)
+    vec = jnp.zeros((n, n, n, 3), jnp.float32)
+    vec = _trilinear_scatter(vec, points01, -normals, n)
+
+    # divergence by central differences (grid units)
+    def ddx(a, axis):
+        return (jnp.roll(a, -1, axis) - jnp.roll(a, 1, axis)) * 0.5
+
+    div = ddx(vec[..., 0], 0) + ddx(vec[..., 1], 1) + ddx(vec[..., 2], 2)
+
+    # spectral inverse Laplacian (periodic; the padded bbox isolates the
+    # object from wrap-around)
+    k = jnp.fft.fftfreq(n) * 2.0 * jnp.pi
+    kx, ky, kz = jnp.meshgrid(k, k, k, indexing="ij")
+    # eigenvalues of the central-difference Laplacian: 2(cos k - 1) per axis
+    lam = 2.0 * (jnp.cos(kx) + jnp.cos(ky) + jnp.cos(kz) - 3.0)
+    lam = jnp.where(lam == 0.0, 1.0, lam)
+    div_hat = jnp.fft.fftn(div)
+    chi_hat = div_hat / lam
+    chi_hat = chi_hat.at[0, 0, 0].set(0.0)
+    chi = jnp.real(jnp.fft.ifftn(chi_hat)).astype(jnp.float32)
+
+    iso = jnp.mean(_trilinear_sample(chi, points01, n))
+    return chi, iso
+
+
+def poisson_reconstruct(
+    points: np.ndarray,  # [P, 3]
+    normals: np.ndarray,  # [P, 3] outward unit normals
+    resolution: int = 128,
+    pad: float = 0.15,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (verts, faces) of the reconstructed surface (outward-oriented)."""
+    from frosting_tpu.extract.marching import marching_tets
+
+    lo = points.min(axis=0)
+    hi = points.max(axis=0)
+    span = (hi - lo).max()
+    lo = lo - pad * span
+    hi_p = lo + (span * (1 + 2 * pad))
+    points01 = (points - lo) / (hi_p - lo)
+
+    chi, iso = _poisson_grid(
+        jnp.asarray(points01, jnp.float32),
+        jnp.asarray(normals, jnp.float32),
+        resolution,
+    )
+    chi = np.asarray(chi)
+    iso = float(iso)
+    spacing = (hi_p - lo) / (resolution - 1)
+    # chi is higher inside; marching_tets orients normals toward lower
+    # values = outward. (Well-defined for level sets of chi - iso.)
+    verts, faces = marching_tets(
+        chi, iso, origin=tuple(lo), spacing=tuple(spacing)
+    )
+    return verts, faces

@@ -1,0 +1,223 @@
+"""Shell (base mesh) extraction — step 3 of the pipeline.
+
+Re-creates extract_shell_base_from_coarse_sugar (frosting_extractors/
+coarse_shell.py:52-909) with TPU-native building blocks:
+
+  per camera:  expected-depth map from the Gaussian rasterizer (the
+               point-colors trick replaces the splat-mesh PyTorch3D
+               depth raster of coarse_shell.py:283-319) ->
+               back-project pixel rays -> sample `n_samples` points over a
+               +/- range around the depth -> batched density-field eval
+               (KNN-gathered) -> first/last level crossings give OUTER and
+               INNER surface points (frosting_model.py:1747-2013); normals
+               from the density gradient.
+  then:        statistical outlier removal -> FFT Poisson reconstruction ->
+               vertex-clustering decimation -> largest-component cleaning
+               (stands in for Open3D Poisson/decimate/cluster,
+               coarse_shell.py:420-617).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frosting_tpu.cameras import Camera
+from frosting_tpu.models import fields
+from frosting_tpu.ops import knn as knn_lib
+from frosting_tpu.raster import RasterConfig, render
+from frosting_tpu.raster.render import render_projected
+from frosting_tpu.raster.preprocess import preprocess
+
+
+@dataclasses.dataclass(frozen=True)
+class ShellConfig:
+    surface_level: float = 0.3  # train.py:37 default 0.3
+    n_ray_samples: int = 21  # frosting_model.py:178 "21 samples over +/-3sigma"
+    range_sigma: float = 3.0
+    knn_k: int = 16
+    poisson_resolution: int = 128
+    target_vertices: int = 50_000
+    outlier_k: int = 20
+    outlier_std: float = 2.0
+
+
+@functools.partial(jax.jit, static_argnames=("rcfg",))
+def render_depth(means, scales, quats, opac, sh, camera, rcfg: RasterConfig):
+    """Alpha-weighted expected depth + mean 3D scale per pixel + alpha."""
+    ones = jnp.ones_like(means[:, :1])
+    homog = jnp.concatenate([means, ones], axis=-1)
+    depth = (homog @ camera.world_view[:, 2:3])[:, 0]
+    mean_scale = jnp.mean(scales, axis=-1)
+    feat = jnp.stack([depth, mean_scale, jnp.zeros_like(depth)], axis=-1)
+    out = render(
+        means, scales, quats, opac, sh, camera, rcfg,
+        bg=jnp.zeros((3,), jnp.float32), colors_precomp=feat,
+    )
+    acc = 1.0 - out.t_final
+    depth_map = out.image[0] / jnp.maximum(acc, 1e-6)
+    scale_map = out.image[1] / jnp.maximum(acc, 1e-6)
+    return depth_map, scale_map, acc
+
+
+@functools.partial(jax.jit, static_argnames=("rcfg", "cfg"))
+def level_points_from_camera(
+    means, scales, quats, opac,
+    camera: Camera,
+    rcfg: RasterConfig,
+    cfg: ShellConfig,
+):
+    """Returns (outer_pts [P,3], outer_normals [P,3], inner_pts [P,3],
+    valid [P]) for every covered pixel of this camera."""
+    sh_dummy = jnp.zeros((means.shape[0], 1, 3), jnp.float32)
+    depth_map, scale_map, acc = render_depth(
+        means, scales, quats, opac, sh_dummy, camera, rcfg
+    )
+    h, w = depth_map.shape
+    covered = acc > 0.5
+
+    # back-project pixel centers: ray dir in world space
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.0)[None, :].repeat(h, 0)
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.0)[:, None].repeat(w, 1)
+    fx, fy = camera.focals(rcfg.projection_width, rcfg.projection_height)
+    cx = (rcfg.projection_width - 1.0) / 2.0
+    cy = (rcfg.projection_height - 1.0) / 2.0
+    dir_cam = jnp.stack(
+        [(xs - cx) / fx, (ys - cy) / fy, jnp.ones_like(xs)], axis=-1
+    )
+    R = camera.world_view[:3, :3]  # row-vector: p_view = p_world @ R
+    dir_world = dir_cam @ R.T  # view->world rotation
+    origin = camera.cam_center
+
+    t_mid = depth_map  # view-space z equals ray parameter for z-normalized dir
+    rng = cfg.range_sigma * jnp.maximum(scale_map, 1e-4)
+    ts = jnp.linspace(-1.0, 1.0, cfg.n_ray_samples)
+    t_samples = t_mid[..., None] + rng[..., None] * ts  # [H, W, S]
+    pts = origin + dir_world[..., None, :] * t_samples[..., None]
+
+    flat_pts = pts.reshape(-1, 3)
+    knn_idx, _ = knn_lib.knn_query(flat_pts, means, k=cfg.knn_k)
+
+    def density_at(p, idx):
+        return fields.field_values(
+            p, idx, means, opac, scales, quats, beta_mode="average",
+            density_factor=1.0,
+        ).density
+
+    dens, dgrad = jax.vmap(
+        lambda p, idx: jax.value_and_grad(
+            lambda q: density_at(q[None], idx[None])[0]
+        )(p)
+    )(flat_pts, knn_idx)
+    dens = dens.reshape(h, w, cfg.n_ray_samples)
+    dgrad = dgrad.reshape(h, w, cfg.n_ray_samples, 3)
+
+    above = dens > cfg.surface_level  # [H, W, S]
+    any_above = jnp.any(above, axis=-1) & covered
+
+    s_idx = jnp.arange(cfg.n_ray_samples)
+    first = jnp.argmax(above, axis=-1)  # first above-level sample
+    last = (
+        cfg.n_ray_samples - 1 - jnp.argmax(above[..., ::-1], axis=-1)
+    )
+
+    def interp_crossing(k_after):
+        """Linear interp of the crossing between sample k_after-1 and
+        k_after (outer: density rises through level)."""
+        k0 = jnp.maximum(k_after - 1, 0)
+        d0 = jnp.take_along_axis(dens, k0[..., None], -1)[..., 0]
+        d1 = jnp.take_along_axis(dens, k_after[..., None], -1)[..., 0]
+        t0 = jnp.take_along_axis(t_samples, k0[..., None], -1)[..., 0]
+        t1 = jnp.take_along_axis(t_samples, k_after[..., None], -1)[..., 0]
+        a = jnp.clip(
+            (cfg.surface_level - d0)
+            / jnp.where(jnp.abs(d1 - d0) < 1e-12, 1e-12, d1 - d0),
+            0.0,
+            1.0,
+        )
+        return t0 + a * (t1 - t0)
+
+    t_outer = interp_crossing(first)
+    # inner crossing: density falls back through the level after `last`
+    k_in = jnp.minimum(last + 1, cfg.n_ray_samples - 1)
+    d_last = jnp.take_along_axis(dens, last[..., None], -1)[..., 0]
+    d_in = jnp.take_along_axis(dens, k_in[..., None], -1)[..., 0]
+    t_last = jnp.take_along_axis(t_samples, last[..., None], -1)[..., 0]
+    t_in = jnp.take_along_axis(t_samples, k_in[..., None], -1)[..., 0]
+    a_in = jnp.clip(
+        (cfg.surface_level - d_last)
+        / jnp.where(jnp.abs(d_in - d_last) < 1e-12, 1e-12, d_in - d_last),
+        0.0,
+        1.0,
+    )
+    t_inner = t_last + a_in * (t_in - t_last)
+
+    outer_pts = origin + dir_world * t_outer[..., None]
+    inner_pts = origin + dir_world * t_inner[..., None]
+    g_outer = jnp.take_along_axis(
+        dgrad, first[..., None, None].repeat(3, -1), axis=2
+    )[..., 0, :]
+    normals = -g_outer / jnp.maximum(
+        jnp.linalg.norm(g_outer, axis=-1, keepdims=True), 1e-9
+    )
+    valid = any_above
+    return (
+        outer_pts.reshape(-1, 3),
+        normals.reshape(-1, 3),
+        inner_pts.reshape(-1, 3),
+        valid.reshape(-1),
+    )
+
+
+def extract_shell(
+    means, scales, quats, opac,
+    cameras: List[Camera],
+    rcfg: RasterConfig,
+    cfg: ShellConfig = ShellConfig(),
+    verbose: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, dict]:
+    """Full shell extraction. Returns (verts, faces, aux) with aux holding
+    the raw surface points/normals and per-vertex inner/outer info for the
+    frosting stage."""
+    from frosting_tpu.extract import meshclean, poisson
+
+    all_pts, all_nrm, all_inner = [], [], []
+    for cam in cameras:
+        o, nrm, inner, valid = level_points_from_camera(
+            means, scales, quats, opac, cam, rcfg, cfg
+        )
+        v = np.asarray(valid)
+        all_pts.append(np.asarray(o)[v])
+        all_nrm.append(np.asarray(nrm)[v])
+        all_inner.append(np.asarray(inner)[v])
+    pts = np.concatenate(all_pts)
+    nrm = np.concatenate(all_nrm)
+    inner = np.concatenate(all_inner)
+    if verbose:
+        print(f"[shell] {len(pts)} surface points from {len(cameras)} cameras")
+
+    pts_f, keep, (nrm_f, inner_f) = meshclean.remove_statistical_outliers(
+        pts, k=cfg.outlier_k, std_ratio=cfg.outlier_std, extra=[nrm, inner]
+    )
+    verts, faces = poisson.poisson_reconstruct(
+        pts_f, nrm_f, resolution=cfg.poisson_resolution
+    )
+    if verbose:
+        print(f"[shell] poisson mesh: {len(verts)} verts {len(faces)} faces")
+    verts, faces = meshclean.decimate_vertex_clustering(
+        verts, faces, cfg.target_vertices
+    )
+    verts, faces = meshclean.largest_component(verts, faces)
+    if verbose:
+        print(f"[shell] cleaned mesh: {len(verts)} verts {len(faces)} faces")
+    aux = {
+        "surface_points": pts_f,
+        "surface_normals": nrm_f,
+        "inner_points": inner_f,
+    }
+    return verts, faces, aux

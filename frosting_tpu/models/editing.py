@@ -1,0 +1,210 @@
+"""Editing / animation runtime: pose the shell, adapt the frosting.
+
+Re-creates the Blender-package editing stack (blender/frosting_utils.py,
+frosting_model.py editability machinery :900-1183) in the functional
+design. Because frosting Gaussian CENTERS are a pure function of the shell
+(softmax-bary over cell corners), editing positions is free — replace
+shell_verts and re-render. What needs explicit adaptation is the
+second-order geometry: per-cell affine transforms rotate/scale each
+Gaussian's covariance (the reference's torch.linalg.solve canonical
+transforms, frosting_model.py:1013-1121) and rotate its SH through the view
+direction (get_frosting_sh_rotations, blender/frosting_utils.py:519-534).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frosting_tpu.models import frosting as frosting_lib
+from frosting_tpu.ops import cov as cov_ops
+from frosting_tpu.ops import quat as quat_ops
+
+
+def cell_affine_transforms(
+    ref_corners: jnp.ndarray,  # [F, 6, 3]
+    new_corners: jnp.ndarray,  # [F, 6, 3]
+) -> jnp.ndarray:
+    """Least-squares linear map per cell: A minimizing ||A Xc - Yc|| over
+    the 6 centered corners (the reference solves the same normal equations
+    with torch.linalg.solve, frosting_model.py:1114-1119). Returns
+    [F, 3, 3]."""
+    xc = ref_corners - ref_corners.mean(axis=1, keepdims=True)
+    yc = new_corners - new_corners.mean(axis=1, keepdims=True)
+    hi = jax.lax.Precision.HIGHEST
+    xtx = jnp.einsum("fka,fkb->fab", xc, xc, precision=hi)
+    ytx = jnp.einsum("fka,fkb->fab", yc, xc, precision=hi)
+    # regularize for degenerate (flat) cells
+    xtx = xtx + 1e-8 * jnp.eye(3)
+    return jnp.linalg.solve(
+        jnp.swapaxes(xtx, -1, -2), jnp.swapaxes(ytx, -1, -2)
+    ).swapaxes(-1, -2)
+
+
+class EditedGaussians(NamedTuple):
+    means: jnp.ndarray
+    cov6: jnp.ndarray  # transformed covariance (feed cov3d_precomp)
+    opacities: jnp.ndarray
+    sh: jnp.ndarray
+    sh_rotations: jnp.ndarray  # [N, 4] quats rotating view dirs for SH
+
+
+def adapt_frosting(
+    params: frosting_lib.FrostingParams,
+    meta: frosting_lib.FrostingMeta,
+    new_shell_verts: jnp.ndarray,
+    deformation_threshold: float = 2.0,
+) -> EditedGaussians:
+    """Render-ready Gaussians for an edited/posed shell
+    ('complex' adaptation: full per-cell affine on the covariance).
+
+    deformation_threshold: Gaussians whose cell stretched by more than this
+    factor get opacity zeroed (render_blender_scene.py deformation masking,
+    blender/frosting_utils.py:537-548)."""
+    edited = dataclasses.replace(params, shell_verts=new_shell_verts)
+
+    ref_corners = frosting_lib.cell_corners(params, meta.faces)
+    new_corners = frosting_lib.cell_corners(edited, meta.faces)
+    A = cell_affine_transforms(ref_corners, new_corners)  # [F, 3, 3]
+    A_g = A[meta.cell_idx]  # [N, 3, 3]
+
+    means = frosting_lib.gaussian_centers(edited, meta.faces, meta.cell_idx)
+    scales = jnp.exp(params.scales_log)
+    quats = quat_ops.normalize(params.quats_raw)
+    cov6 = cov_ops.cov3d_from_scale_quat(scales, quats)
+    sigma = cov_ops.unpack_cov3d(cov6)
+    hi = jax.lax.Precision.HIGHEST
+    sigma_new = jnp.einsum(
+        "nab,nbc,ndc->nad", A_g, sigma, A_g, precision=hi
+    )
+    cov6_new = jnp.stack(
+        [
+            sigma_new[:, 0, 0],
+            sigma_new[:, 0, 1],
+            sigma_new[:, 0, 2],
+            sigma_new[:, 1, 1],
+            sigma_new[:, 1, 2],
+            sigma_new[:, 2, 2],
+        ],
+        axis=-1,
+    )
+
+    # deformation masking: zero out overly stretched cells
+    sv = jnp.linalg.norm(A_g, axis=(1, 2)) / jnp.sqrt(3.0)  # ~mean stretch
+    opac = jax.nn.sigmoid(params.opacities_raw)
+    opac = jnp.where(sv > deformation_threshold, 0.0, opac)
+    opac = jnp.where(sv < 1.0 / deformation_threshold, 0.0, opac)
+
+    # SH rotation: rotate view dirs by the cell's rotation delta (polar part
+    # of A), the analogue of get_frosting_sh_rotations' quat delta
+    u, _s, vt = jnp.linalg.svd(A_g)
+    R = u @ vt
+    det = jnp.linalg.det(R)
+    # ensure proper rotations
+    u_fix = u.at[:, :, 2].multiply(jnp.sign(det)[:, None])
+    R = u_fix @ vt
+    sh_rot = quat_ops.from_matrix(R)
+
+    sh = jnp.concatenate([params.sh_dc, params.sh_rest], axis=1)
+    return EditedGaussians(
+        means=means, cov6=cov6_new, opacities=opac, sh=sh, sh_rotations=sh_rot
+    )
+
+
+def render_edited(
+    eg: EditedGaussians, camera, rcfg, bg=None, active_sh_degree: int = 3
+):
+    """Render adapted Gaussians (uses the rasterizer's cov3d_precomp path;
+    SH is evaluated along rotated view dirs)."""
+    from frosting_tpu.ops import sh as sh_ops
+    from frosting_tpu.raster import render
+
+    # rotate view dirs per gaussian: dir' = R^T dir
+    dirs = eg.means - camera.cam_center
+    dirs = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+    )
+    dirs_rot = quat_ops.apply(quat_ops.conjugate(eg.sh_rotations), dirs)
+    colors = jnp.maximum(
+        sh_ops.eval_sh(active_sh_degree, eg.sh, dirs_rot) + 0.5, 0.0
+    )
+    dummy_scales = jnp.ones((eg.means.shape[0], 3), jnp.float32)
+    dummy_quats = jnp.concatenate(
+        [jnp.ones((eg.means.shape[0], 1)), jnp.zeros((eg.means.shape[0], 3))],
+        axis=1,
+    )
+    return render(
+        eg.means, dummy_scales, dummy_quats, eg.opacities, eg.sh,
+        camera, rcfg, bg=bg, colors_precomp=colors, cov3d_precomp=eg.cov6,
+    )
+
+
+# --- linear blend skinning + Blender package loading ---
+
+
+def lbs_pose_verts(
+    tpose_points: jnp.ndarray,  # [V, 3]
+    bone_weights: jnp.ndarray,  # [V, B]
+    rest_matrices: jnp.ndarray,  # [B, 4, 4] bone rest transforms
+    pose_matrices: jnp.ndarray,  # [B, 4, 4] bone pose transforms
+) -> jnp.ndarray:
+    """v' = sum_b w_vb * M_pose_b @ M_rest_b^-1 @ v  (apply_poses_to_scene,
+    blender/frosting_utils.py:474-516). Matrices column-vector convention."""
+    deltas = jnp.einsum(
+        "bij,bjk->bik", pose_matrices, jnp.linalg.inv(rest_matrices)
+    )  # [B, 4, 4]
+    homog = jnp.concatenate(
+        [tpose_points, jnp.ones_like(tpose_points[:, :1])], axis=-1
+    )
+    per_bone = jnp.einsum("bij,vj->vbi", deltas, homog)[..., :3]  # [V, B, 3]
+    return jnp.sum(bone_weights[..., None] * per_bone, axis=1)
+
+
+def load_blender_package(path: str) -> Dict:
+    """Parse a Blender-exported JSON package (bones, weights, frames,
+    cameras) into numpy structures (load_blender_package,
+    blender/frosting_utils.py:15-104)."""
+    with open(path) as f:
+        package = json.load(f)
+
+    out: Dict = {"raw": package, "meshes": []}
+    for mesh_dict in package.get("bones", []):
+        if not mesh_dict:
+            out["meshes"].append(None)
+            continue
+        vd = mesh_dict["vertex"]
+        ad = mesh_dict["armature"]
+        tpose = np.asarray(vd["tpose_points"], np.float32)
+        bone_names = list(ad["rest_bones"].keys())
+        b = len(bone_names)
+        v = len(tpose)
+        weights = np.zeros((v, b), np.float32)
+        name_to_idx = {n: i for i, n in enumerate(bone_names)}
+        for i in range(v):
+            for g, w in zip(vd["groups"][i], vd["weights"][i]):
+                if g in name_to_idx:
+                    weights[i, name_to_idx[g]] = w
+        wsum = weights.sum(axis=1, keepdims=True)
+        weights = np.where(wsum > 0, weights / np.maximum(wsum, 1e-12), 0.0)
+        rest = np.stack(
+            [np.asarray(ad["rest_bones"][n], np.float32) for n in bone_names]
+        )
+        pose = np.stack(
+            [np.asarray(ad["pose_bones"][n], np.float32) for n in bone_names]
+        )  # [B, T, 4, 4]
+        out["meshes"].append(
+            {
+                "tpose_points": tpose,
+                "weights": weights,
+                "bone_names": bone_names,
+                "rest_matrices": rest,
+                "pose_matrices": pose,
+                "matrix_world": np.asarray(vd["matrix_world"], np.float32),
+            }
+        )
+    return out

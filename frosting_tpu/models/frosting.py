@@ -1,0 +1,297 @@
+"""Frosting model: Gaussians parameterized by softmax barycentric
+coordinates inside the prismatic cells of an adaptive-thickness shell.
+
+Functional re-design of the Frosting class (frosting_scene/frosting_model.py:
+159-1744). The shell is two offset sheets of the base mesh along vertex
+normals; each base face spans a 6-corner prismatic cell (3 inner + 3 outer
+vertices); every frosting Gaussian lives in one cell with
+point = softmax(bary_logits) . cell_corners (frosting_model.py:503-514,
+712-726). Convention note: our vertex normals point OUTWARD, so
+outer_dist >= 0 and inner_dist <= 0 (the reference stores the opposite
+signs, frosting_model.py:375-377).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frosting_tpu.models import fields
+from frosting_tpu.ops import knn as knn_lib
+from frosting_tpu.ops import mesh as mesh_ops
+from frosting_tpu.ops import sh as sh_ops
+from frosting_tpu.scene.gaussians import GaussianParams, inverse_sigmoid
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FrostingParams:
+    """Optimizable frosting state. Static mesh topology (faces) lives in
+    FrostingMeta, not here."""
+
+    shell_verts: jnp.ndarray  # [V, 3] base mesh (fixed unless learn_shell)
+    inner_dist: jnp.ndarray  # [V] <= 0
+    outer_dist: jnp.ndarray  # [V] >= 0
+    bary_logits: jnp.ndarray  # [N, 6]
+    scales_log: jnp.ndarray  # [N, 3]
+    quats_raw: jnp.ndarray  # [N, 4]
+    opacities_raw: jnp.ndarray  # [N]
+    sh_dc: jnp.ndarray  # [N, 1, 3]
+    sh_rest: jnp.ndarray  # [N, K-1, 3]
+
+
+class FrostingMeta(NamedTuple):
+    faces: jnp.ndarray  # [F, 3] int32
+    cell_idx: jnp.ndarray  # [N] int32 cell (face) of each frosting Gaussian
+    bg: Optional[GaussianParams]  # background Gaussians outside the fg bbox
+
+
+@dataclasses.dataclass(frozen=True)
+class FrostingConfig:
+    n_gaussians: int = 2_000_000  # train.py:71 default budget
+    frosting_level: float = 0.01  # train.py:87
+    n_samples_per_vertex: int = 21  # frosting_model.py:178
+    proposal_std_range: float = 3.0  # initial_proposal_std_range
+    min_frosting_size: float = 0.001
+    knn_k: int = 16
+    sh_degree: int = 3
+    # limit offsets to this multiple of the local mean edge length (cheap
+    # stand-in for the reference's 20-iteration is_inside_frosting shrink
+    # loop, frosting_model.py:398-435)
+    max_offset_edge_factor: float = 1.5
+
+
+def shell_sheets(p: FrostingParams, faces: jnp.ndarray):
+    normals = mesh_ops.vertex_normals(p.shell_verts, faces)
+    inner = p.shell_verts + p.inner_dist[:, None] * normals
+    outer = p.shell_verts + p.outer_dist[:, None] * normals
+    return inner, outer, normals
+
+
+def cell_corners(p: FrostingParams, faces: jnp.ndarray) -> jnp.ndarray:
+    """[F, 6, 3]: inner triangle verts then outer triangle verts."""
+    inner, outer, _ = shell_sheets(p, faces)
+    tri_in = inner[faces]  # [F, 3, 3]
+    tri_out = outer[faces]
+    return jnp.concatenate([tri_in, tri_out], axis=1)
+
+
+def gaussian_centers(
+    p: FrostingParams, faces: jnp.ndarray, cell_idx: jnp.ndarray
+) -> jnp.ndarray:
+    """[N, 3] differentiable through bary logits AND the shell."""
+    corners = cell_corners(p, faces)[cell_idx]  # [N, 6, 3]
+    w = jax.nn.softmax(p.bary_logits, axis=-1)
+    return jnp.sum(w[..., None] * corners, axis=1)
+
+
+def activate_frosting(
+    p: FrostingParams, meta: FrostingMeta
+) -> Tuple[jnp.ndarray, ...]:
+    """-> (means, scales, quats, opacities, sh) of frosting (+ background)
+    Gaussians, ready for the rasterizer."""
+    from frosting_tpu.ops import quat as quat_ops
+    from frosting_tpu.scene.gaussians import activate as activate_gs
+
+    means = gaussian_centers(p, meta.faces, meta.cell_idx)
+    scales = jnp.exp(p.scales_log)
+    quats = quat_ops.normalize(p.quats_raw)
+    opac = jax.nn.sigmoid(p.opacities_raw)
+    sh = jnp.concatenate([p.sh_dc, p.sh_rest], axis=1)
+    if meta.bg is not None:
+        bm, bs, bq, bo, bsh = activate_gs(meta.bg)
+        means = jnp.concatenate([means, bm])
+        scales = jnp.concatenate([scales, bs])
+        quats = jnp.concatenate([quats, bq])
+        opac = jnp.concatenate([opac, bo])
+        sh = jnp.concatenate([sh, bsh])
+    return means, scales, quats, opac, sh
+
+
+def level_dists_along_normals(
+    shell_verts: jnp.ndarray,
+    normals: jnp.ndarray,
+    g_means: jnp.ndarray,
+    g_scales: jnp.ndarray,
+    g_quats: jnp.ndarray,
+    g_opac: jnp.ndarray,
+    cfg: FrostingConfig,
+    range_per_vertex: jnp.ndarray,  # [V] search half-range
+):
+    """Find inner/outer crossings of the frosting-level density along each
+    vertex normal (compute_level_points_along_normals,
+    frosting_model.py:2016-2208). Returns (inner_dist <= 0, outer_dist >= 0)."""
+    v = shell_verts.shape[0]
+    s = cfg.n_samples_per_vertex
+    ts = jnp.linspace(-1.0, 1.0, s)
+    offsets = range_per_vertex[:, None] * ts[None, :]  # [V, S]
+    pts = shell_verts[:, None, :] + normals[:, None, :] * offsets[..., None]
+    flat = pts.reshape(-1, 3)
+    knn_idx, _ = knn_lib.knn_query(flat, g_means, k=cfg.knn_k)
+    dens = fields.field_values(
+        flat, knn_idx, g_means, g_opac, g_scales, g_quats,
+        beta_mode="average",
+    ).density.reshape(v, s)
+
+    above = dens > cfg.frosting_level
+    any_above = jnp.any(above, axis=-1)
+    first = jnp.argmax(above, axis=-1)
+    last = s - 1 - jnp.argmax(above[:, ::-1], axis=-1)
+
+    def interp(k_after, direction):
+        k0 = jnp.clip(k_after - direction, 0, s - 1)
+        d0 = jnp.take_along_axis(dens, k0[:, None], 1)[:, 0]
+        d1 = jnp.take_along_axis(dens, k_after[:, None], 1)[:, 0]
+        o0 = jnp.take_along_axis(offsets, k0[:, None], 1)[:, 0]
+        o1 = jnp.take_along_axis(offsets, k_after[:, None], 1)[:, 0]
+        a = jnp.clip(
+            (cfg.frosting_level - d0)
+            / jnp.where(jnp.abs(d1 - d0) < 1e-12, 1e-12, d1 - d0),
+            0.0,
+            1.0,
+        )
+        return o0 + a * (o1 - o0)
+
+    inner_off = interp(first, 1)  # crossing entering the level from below
+    outer_off = interp(last, -1)
+    fallback = cfg.min_frosting_size * jnp.mean(range_per_vertex)
+    inner = jnp.where(any_above, jnp.minimum(inner_off, 0.0), -fallback)
+    outer = jnp.where(any_above, jnp.maximum(outer_off, 0.0), fallback)
+    return inner, outer
+
+
+def init_frosting(
+    key,
+    shell_verts: np.ndarray,
+    faces: np.ndarray,
+    g_means: jnp.ndarray,
+    g_scales: jnp.ndarray,
+    g_quats: jnp.ndarray,
+    g_opac: jnp.ndarray,
+    gaussians: Optional[GaussianParams],  # 3DGS params for SH/bg transfer
+    cfg: FrostingConfig,
+    spatial_extent: float = 1.0,
+    use_background: bool = False,
+) -> Tuple[FrostingParams, FrostingMeta]:
+    """Build the frosting layer around a shell mesh (frosting_model.py
+    ctor :288-591)."""
+    shell_verts = jnp.asarray(shell_verts, jnp.float32)
+    faces_j = jnp.asarray(faces, jnp.int32)
+    v = shell_verts.shape[0]
+    normals = mesh_ops.vertex_normals(shell_verts, faces_j)
+
+    # per-vertex std of nearby gaussians along the normal (fm:299-309)
+    kidx, _ = knn_lib.knn_query(shell_verts, g_means, k=min(cfg.knn_k, 16))
+    from frosting_tpu.ops import quat as quat_ops
+
+    nb_quats = g_quats[kidx]  # [V, K, 4]
+    nb_scales = g_scales[kidx]
+    local_n = quat_ops.apply(
+        quat_ops.conjugate(nb_quats), jnp.broadcast_to(normals[:, None], nb_quats.shape[:2] + (3,))
+    )
+    stds = jnp.linalg.norm(nb_scales * local_n, axis=-1).mean(axis=1)  # [V]
+
+    inner_dist, outer_dist = level_dists_along_normals(
+        shell_verts, normals, g_means, g_scales, g_quats, g_opac, cfg,
+        range_per_vertex=cfg.proposal_std_range * stds,
+    )
+
+    # cheap self-intersection limiting: clamp offsets by local edge length
+    edges = jnp.concatenate(
+        [faces_j[:, [0, 1]], faces_j[:, [1, 2]], faces_j[:, [2, 0]]]
+    )
+    el = jnp.linalg.norm(
+        shell_verts[edges[:, 0]] - shell_verts[edges[:, 1]], axis=-1
+    )
+    acc = jnp.zeros((v,)).at[edges[:, 0]].add(el).at[edges[:, 1]].add(el)
+    deg = jnp.zeros((v,)).at[edges[:, 0]].add(1.0).at[edges[:, 1]].add(1.0)
+    mean_edge = acc / jnp.maximum(deg, 1.0)
+    cap = cfg.max_offset_edge_factor * mean_edge
+    inner_dist = jnp.maximum(inner_dist, -cap)
+    outer_dist = jnp.minimum(outer_dist, cap)
+    min_sz = cfg.min_frosting_size * spatial_extent
+    outer_dist = jnp.maximum(outer_dist, min_sz)
+    inner_dist = jnp.minimum(inner_dist, -min_sz)
+
+    # cell volumes ~ base area x mean thickness (fm:437-495, Heron)
+    areas = mesh_ops.face_areas(shell_verts, faces_j)
+    thick = (outer_dist - inner_dist)[faces_j].mean(axis=1)
+    volumes = areas * thick
+
+    # volume-proportional allocation
+    k1, k2, k3 = jax.random.split(key, 3)
+    n = cfg.n_gaussians
+    logp = jnp.log(jnp.maximum(volumes / volumes.sum(), 1e-30))
+    cell_idx = jax.random.categorical(k1, logp, shape=(n,)).astype(jnp.int32)
+
+    # random barycentric init: sorted-uniform differences (fm:502-507)
+    u = jax.random.uniform(k2, (n, 6))
+    u = u.at[:, -1].set(1.0)
+    u = jnp.sort(u, axis=-1)
+    bary = jnp.concatenate([u[:, :1], u[:, 1:] - u[:, :-1]], axis=-1)
+    bary_logits = jnp.log(jnp.maximum(bary, 1e-8))
+
+    params = FrostingParams(
+        shell_verts=shell_verts,
+        inner_dist=inner_dist,
+        outer_dist=outer_dist,
+        bary_logits=bary_logits,
+        scales_log=jnp.zeros((n, 3)),
+        quats_raw=jnp.concatenate(
+            [jnp.ones((n, 1)), jnp.zeros((n, 3))], axis=1
+        ),
+        opacities_raw=jnp.full((n,), float(inverse_sigmoid(jnp.asarray(0.1)))),
+        sh_dc=jnp.zeros((n, 1, 3)),
+        sh_rest=jnp.zeros((n, sh_ops.num_sh_coeffs(cfg.sh_degree) - 1, 3)),
+    )
+
+    # scale init: knn distance among frosting points, clamped by cell size
+    pts = gaussian_centers(params, faces_j, cell_idx)
+    d2 = jnp.maximum(knn_lib.mean_knn_sqdist(pts, k=3), 1e-7)
+    corners = cell_corners(params, faces_j)
+    side = jnp.linalg.norm(
+        corners[:, 3:] - corners[:, :3], axis=-1
+    )  # [F, 3] prism side lengths
+    base = jnp.linalg.norm(
+        corners[:, [0, 1, 2]] - corners[:, [1, 2, 0]], axis=-1
+    )
+    max_len = jnp.maximum(side.max(-1), base.max(-1))[cell_idx]
+    scales0 = jnp.sqrt(jnp.minimum(d2, max_len**2))
+    params = dataclasses.replace(
+        params,
+        scales_log=jnp.log(scales0)[:, None].repeat(3, 1),
+    )
+
+    # SH transfer from the closest source gaussian (fm:517-556)
+    closest, _ = knn_lib.knn_query(pts, g_means, k=1)
+    closest = closest[:, 0]
+    if gaussians is not None:
+        params = dataclasses.replace(
+            params,
+            sh_dc=gaussians.sh_dc[closest],
+            sh_rest=gaussians.sh_rest[closest],
+        )
+
+    bg = None
+    if use_background and gaussians is not None:
+        lo = jnp.min(shell_verts, axis=0)
+        hi = jnp.max(shell_verts, axis=0)
+        inside = jnp.all(
+            (gaussians.means3d > lo) & (gaussians.means3d < hi), axis=-1
+        )
+        bg_mask = (~inside) & (gaussians.mask > 0.5)
+        bg = dataclasses.replace(
+            gaussians, mask=bg_mask.astype(jnp.float32)
+        )
+    return params, FrostingMeta(faces=faces_j, cell_idx=cell_idx, bg=bg)
+
+
+def to_gaussians(p: FrostingParams, meta: FrostingMeta):
+    """Convert to plain activated Gaussian arrays (PLY export path,
+    convert_frosting_into_gaussians, frosting_model.py:2211-2285)."""
+    return activate_frosting(p, meta)

@@ -21,6 +21,16 @@ COV2D_LOWPASS = 0.3
 EWA_CLAMP = 1.3
 
 
+def matvec_rows(p: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
+    """row-vector product p @ M for [..., k] x [k, m], unrolled to
+    elementwise ops (avoids skinny-matmul lowering; exact f32)."""
+    cols = [
+        sum(p[..., i] * M[i, j] for i in range(p.shape[-1]))
+        for j in range(M.shape[1])
+    ]
+    return jnp.stack(cols, axis=-1)
+
+
 def cov3d_from_scale_quat(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
     """[..., 3] activated scales + [..., 4] unit wxyz quats -> [..., 6]
     packed upper-triangular covariance (xx, xy, xz, yy, yz, zz).
@@ -29,18 +39,16 @@ def cov3d_from_scale_quat(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarra
     """
     R = quat_ops.to_matrix(quats)  # [..., 3, 3]
     M = R * scales[..., None, :]  # R @ diag(s)
-    sigma = jnp.einsum(
-        "...ik,...jk->...ij", M, M, precision=jax.lax.Precision.HIGHEST
-    )
+    # sigma = M M^T, unrolled elementwise (see matvec_rows note)
+    def mm(i, j):
+        return (
+            M[..., i, 0] * M[..., j, 0]
+            + M[..., i, 1] * M[..., j, 1]
+            + M[..., i, 2] * M[..., j, 2]
+        )
+
     return jnp.stack(
-        [
-            sigma[..., 0, 0],
-            sigma[..., 0, 1],
-            sigma[..., 0, 2],
-            sigma[..., 1, 1],
-            sigma[..., 1, 2],
-            sigma[..., 2, 2],
-        ],
+        [mm(0, 0), mm(0, 1), mm(0, 2), mm(1, 1), mm(1, 2), mm(2, 2)],
         axis=-1,
     )
 
@@ -68,11 +76,12 @@ def ewa_project(
     Returns [..., 3] packed (cov_xx, cov_xy, cov_yy) INCLUDING the 0.3px
     low-pass on the diagonal.
     """
+    # NOTE on formulation: all small matrix products here are UNROLLED into
+    # elementwise VPU ops instead of jnp.dot/einsum. Skinny [N,k]x[k,k]
+    # matmuls trigger a pathological slow-gather mode in this TPU runtime
+    # (see bench notes) and are no faster on the MXU anyway at k<=4.
     W = world_view[:3, :3]  # row-vector: p_view = p @ W + wv[3,:3]
-    t = (
-        jnp.dot(means3d, W, precision=jax.lax.Precision.HIGHEST)
-        + world_view[3, :3]
-    )
+    t = matvec_rows(means3d, W) + world_view[3, :3]
     tz = t[..., 2]
     # Clamp the linearization point to 1.3x the frustum.
     txtz = jnp.clip(t[..., 0] / tz, -EWA_CLAMP * tan_fov_x, EWA_CLAMP * tan_fov_x)
@@ -82,22 +91,35 @@ def ewa_project(
 
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    # J = d(pix)/d(view): rows are screen x,y; columns view x,y,z.
-    zeros = jnp.zeros_like(tz)
-    j_row0 = jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], axis=-1)
-    j_row1 = jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], axis=-1)
-    J = jnp.stack([j_row0, j_row1], axis=-2)  # [..., 2, 3]
+    # J rows (d(pix)/d(view)): [fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]
+    j00 = focal_x * inv_z
+    j02 = -focal_x * tx * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * ty * inv_z2
 
-    V = unpack_cov3d(cov6)  # [..., 3, 3]
-    # view-space covariance: W^T is cam rotation (column-vector) so
-    # Sigma_view = Wc V Wc^T with Wc = W^T (row-vector storage).
+    # T = J @ Wc where Wc = cam rotation (column-vector) = W.T; rows of T:
+    # T[0,:] = j00*Wc[0,:] + j02*Wc[2,:],  T[1,:] = j11*Wc[1,:] + j12*Wc[2,:]
     Wc = W.T
-    hi = jax.lax.Precision.HIGHEST
-    sigma_view = jnp.einsum("ab,...bc,dc->...ad", Wc, V, Wc, precision=hi)
-    cov2 = jnp.einsum("...ib,...bc,...jc->...ij", J, sigma_view, J, precision=hi)
-    cov_xx = cov2[..., 0, 0] + COV2D_LOWPASS
-    cov_yy = cov2[..., 1, 1] + COV2D_LOWPASS
-    cov_xy = cov2[..., 0, 1]
+    t0 = j00[..., None] * Wc[0] + j02[..., None] * Wc[2]  # [..., 3]
+    t1 = j11[..., None] * Wc[1] + j12[..., None] * Wc[2]
+
+    # cov2 = T V T^T with V the packed symmetric cov3d — unrolled quadratic
+    # forms (see matvec_rows note on avoiding skinny matmuls)
+    xx, xy, xz, yy, yz, zz = (cov6[..., i] for i in range(6))
+
+    def quad(a, b):
+        return (
+            a[..., 0] * b[..., 0] * xx
+            + a[..., 1] * b[..., 1] * yy
+            + a[..., 2] * b[..., 2] * zz
+            + (a[..., 0] * b[..., 1] + a[..., 1] * b[..., 0]) * xy
+            + (a[..., 0] * b[..., 2] + a[..., 2] * b[..., 0]) * xz
+            + (a[..., 1] * b[..., 2] + a[..., 2] * b[..., 1]) * yz
+        )
+
+    cov_xx = quad(t0, t0) + COV2D_LOWPASS
+    cov_yy = quad(t1, t1) + COV2D_LOWPASS
+    cov_xy = quad(t0, t1)
     return jnp.stack([cov_xx, cov_xy, cov_yy], axis=-1)
 
 

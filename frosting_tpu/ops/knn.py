@@ -97,6 +97,47 @@ def knn(
     return idx, -neg_d2
 
 
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def knn_query(
+    queries: jnp.ndarray,  # [M, 3]
+    refs: jnp.ndarray,  # [N, 3]
+    k: int = 16,
+    window: int = 48,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Approximate KNN of queries against a reference cloud (replaces
+    pytorch3d knn_points(queries, refs)). Returns (idx [M, k], sqdist)."""
+    n = refs.shape[0]
+    lo = jnp.min(refs, axis=0)
+    hi = jnp.max(refs, axis=0)
+    ref_codes = morton_codes(refs, lo, hi)
+    order = jnp.argsort(ref_codes)
+    sorted_codes = ref_codes[order]
+    q_codes = morton_codes(queries, lo, hi)
+    pos = jnp.searchsorted(sorted_codes, q_codes).astype(jnp.int32)
+    offs = jnp.arange(-window, window + 1)
+    cand_pos = jnp.clip(pos[:, None] + offs[None, :], 0, n - 1)
+    cand = order[cand_pos]  # [M, 2W+1]
+    diff = refs[cand] - queries[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    # de-duplicate clipped repeats at the window edges
+    order_c = jnp.argsort(cand, axis=1, stable=True)
+    cand_sorted = jnp.take_along_axis(cand, order_c, axis=1)
+    dup_sorted = jnp.concatenate(
+        [
+            jnp.zeros((queries.shape[0], 1), bool),
+            cand_sorted[:, 1:] == cand_sorted[:, :-1],
+        ],
+        axis=1,
+    )
+    dup = jnp.zeros_like(dup_sorted).at[
+        jnp.arange(queries.shape[0])[:, None], order_c
+    ].set(dup_sorted)
+    d2 = jnp.where(dup, jnp.inf, d2)
+    neg_d2, top_idx = jax.lax.top_k(-d2, k)
+    idx = jnp.take_along_axis(cand, top_idx, axis=1)
+    return idx, -neg_d2
+
+
 def mean_knn_sqdist(points: jnp.ndarray, k: int = 3) -> jnp.ndarray:
     """Device-side analogue of simple-knn distCUDA2: mean squared distance
     to the k nearest neighbors."""

@@ -35,11 +35,12 @@ class Fragments(NamedTuple):
 
 def project_verts(verts: jnp.ndarray, camera: Camera, cfg: RasterConfig):
     """-> (xy [V, 2] pixel coords, z_view [V])."""
+    from frosting_tpu.ops.cov import matvec_rows
+
     ones = jnp.ones_like(verts[:, :1])
     homog = jnp.concatenate([verts, ones], axis=-1)
-    hi = jax.lax.Precision.HIGHEST
-    p_view = jnp.dot(homog, camera.world_view[:, :3], precision=hi)
-    p_hom = jnp.dot(homog, camera.full_proj, precision=hi)
+    p_view = matvec_rows(homog, camera.world_view[:, :3])
+    p_hom = matvec_rows(homog, camera.full_proj)
     w = p_hom[:, 3]
     ndc = p_hom[:, :2] / (w[:, None] + 1e-9)
     x = ndc_to_pix(ndc[:, 0], cfg.projection_width)

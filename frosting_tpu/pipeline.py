@@ -1,0 +1,137 @@
+"""End-to-end Frosting pipeline orchestration.
+
+The single-call analogue of train_full_pipeline.py (reference :121-208),
+running all stages in-process instead of chaining subprocesses:
+
+  1. vanilla 3DGS optimization               (train/gs_trainer.py)
+  2. coarse SuGaR surface regularization     (train/sugar_trainer.py)
+  3. shell base-mesh extraction              (extract/shell.py)
+  4. frosting layer initialization           (models/frosting.py)
+  5. frosting refinement                     (train/frosting_trainer.py)
+  6. exports: PLY (3DGS-viewer-compatible)   (scene/gaussians.py, utils/ply.py)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frosting_tpu.cameras import Camera
+from frosting_tpu.extract.shell import ShellConfig, extract_shell
+from frosting_tpu.models import frosting as frosting_lib
+from frosting_tpu.raster import RasterConfig
+from frosting_tpu.scene.gaussians import activate
+from frosting_tpu.train import frosting_trainer, gs_trainer, sugar_trainer
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    gs: gs_trainer.GSTrainConfig = gs_trainer.GSTrainConfig()
+    sugar: sugar_trainer.SugarTrainConfig = sugar_trainer.SugarTrainConfig()
+    shell: ShellConfig = ShellConfig()
+    frosting: frosting_lib.FrostingConfig = frosting_lib.FrostingConfig()
+    refine: frosting_trainer.FrostingTrainConfig = (
+        frosting_trainer.FrostingTrainConfig()
+    )
+    use_background_gaussians: bool = False
+
+
+def run_pipeline(
+    cameras: List[Camera],
+    gt_images: np.ndarray,
+    points: np.ndarray,
+    colors: np.ndarray,
+    spatial_extent: float,
+    rcfg: RasterConfig,
+    cfg: PipelineConfig,
+    seed: int = 0,
+    log_fn=print,
+) -> Dict:
+    """Run stages 1-5; returns a dict with every stage's artifacts."""
+    out: Dict = {}
+
+    if log_fn:
+        log_fn("=== stage 1: vanilla 3DGS ===")
+    state, gs_hist = gs_trainer.train(
+        cameras, gt_images, points, colors, spatial_extent, rcfg, cfg.gs,
+        seed=seed, log_fn=log_fn,
+    )
+    out["gs_state"] = state
+    out["gs_history"] = gs_hist
+
+    if log_fn:
+        log_fn("=== stage 2: coarse SuGaR ===")
+    params, sugar_hist = sugar_trainer.train(
+        state.params, spatial_extent, cameras, gt_images, rcfg, cfg.sugar,
+        seed=seed, log_fn=log_fn,
+    )
+    out["sugar_params"] = params
+    out["sugar_history"] = sugar_hist
+
+    if log_fn:
+        log_fn("=== stage 3: shell extraction ===")
+    means, scales, quats, opac, _sh = activate(params)
+    verts, faces, shell_aux = extract_shell(
+        means, scales, quats, opac, cameras, rcfg, cfg.shell,
+        verbose=bool(log_fn),
+    )
+    out["shell_verts"] = verts
+    out["shell_faces"] = faces
+
+    if log_fn:
+        log_fn("=== stage 4: frosting init ===")
+    fparams, meta = frosting_lib.init_frosting(
+        jax.random.key(seed), verts, faces, means, scales, quats, opac,
+        params, cfg.frosting, spatial_extent,
+        use_background=cfg.use_background_gaussians,
+    )
+    out["frosting_meta"] = meta
+
+    if log_fn:
+        log_fn("=== stage 5: frosting refinement ===")
+    fparams, refine_hist = frosting_trainer.train(
+        fparams, meta, spatial_extent, cameras, gt_images, rcfg, cfg.refine,
+        seed=seed, log_fn=log_fn,
+    )
+    out["frosting_params"] = fparams
+    out["refine_history"] = refine_hist
+    return out
+
+
+def export_frosting_ply(fparams, meta, path: str) -> None:
+    """Export the refined frosting as a 3DGS-viewer PLY
+    (convert_frosting_into_gaussians -> save_ply, refine.py:585-599)."""
+    from frosting_tpu.ops import sh as sh_ops
+    from frosting_tpu.utils import ply as ply_io
+
+    means, scales, quats, opac, sh = frosting_lib.to_gaussians(fparams, meta)
+    n = means.shape[0]
+    means = np.asarray(means)
+    props = {
+        "x": means[:, 0],
+        "y": means[:, 1],
+        "z": means[:, 2],
+        "nx": np.zeros(n, np.float32),
+        "ny": np.zeros(n, np.float32),
+        "nz": np.zeros(n, np.float32),
+    }
+    sh = np.asarray(sh)
+    dc = sh[:, :1].transpose(0, 2, 1).reshape(n, -1)
+    for i in range(dc.shape[1]):
+        props[f"f_dc_{i}"] = dc[:, i]
+    rest = sh[:, 1:].transpose(0, 2, 1).reshape(n, -1)
+    for i in range(rest.shape[1]):
+        props[f"f_rest_{i}"] = rest[:, i]
+    opac = np.clip(np.asarray(opac), 1e-6, 1 - 1e-6)
+    props["opacity"] = np.log(opac / (1 - opac)).astype(np.float32)
+    scl = np.log(np.maximum(np.asarray(scales), 1e-12))
+    for i in range(3):
+        props[f"scale_{i}"] = scl[:, i]
+    q = np.asarray(quats)
+    for i in range(4):
+        props[f"rot_{i}"] = q[:, i]
+    ply_io.write_ply(path, props)

@@ -48,17 +48,17 @@ def preprocess(
     deg = cfg.sh_degree if active_sh_degree is None else active_sh_degree
     f32 = jnp.float32
 
-    # Keep projection math in true f32 on TPU (default matmul is bf16 passes).
-    dot_hi = lambda a, b: jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
-
+    # Projection products are unrolled elementwise (exact f32 on the VPU;
+    # skinny [N,4]x[4,4] matmuls both lose precision by default on the MXU
+    # and trigger a pathological slow-gather runtime mode — see ops/cov.py).
     ones = jnp.ones_like(means3d[..., :1])
     homog = jnp.concatenate([means3d, ones], axis=-1)  # [N, 4]
 
-    p_view = dot_hi(homog, camera.world_view[:, :3])  # [N, 3]
+    p_view = cov_ops.matvec_rows(homog, camera.world_view[:, :3])  # [N, 3]
     depth = p_view[..., 2]
     in_front = depth > cfg.near
 
-    p_hom = dot_hi(homog, camera.full_proj)  # [N, 4]
+    p_hom = cov_ops.matvec_rows(homog, camera.full_proj)  # [N, 4]
     p_w = 1.0 / (p_hom[..., 3] + 1e-7)
     ndc = p_hom[..., :2] * p_w[..., None]
     # Projection always uses FULL image dims; pixel_offset shifts into the

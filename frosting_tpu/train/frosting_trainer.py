@@ -1,0 +1,220 @@
+"""Frosting refinement — step 5 of the pipeline.
+
+Re-creates refined_training (frosting_trainers/refine.py:21-633): optimize
+bary coords / scales / quats / opacities / SH of the shell-constrained
+Gaussians (plus background Gaussians) against L1 + D-SSIM, with optional
+mesh occlusion culling using per-camera visible-face sets precomputed with
+the mesh rasterizer (refine.py:413-455; cull applied every 2nd iteration,
+refine.py:487-492). No densification during refinement (refine.py docstring,
+SURVEY.md §2 #20).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from frosting_tpu.cameras import Camera
+from frosting_tpu.models.frosting import (
+    FrostingMeta,
+    FrostingParams,
+    activate_frosting,
+)
+from frosting_tpu.ops.ssim import l1_loss, psnr, ssim
+from frosting_tpu.raster import RasterConfig, render
+from frosting_tpu.train.optimizer import expon_lr
+
+
+@dataclasses.dataclass(frozen=True)
+class FrostingTrainConfig:
+    iterations: int = 15_000  # long preset; 2k short / 7k medium (train.py:140)
+    lambda_dssim: float = 0.2
+    sh_degree: int = 3
+    learn_shell: bool = False
+    # group LRs (frosting_optimizer.py:52-143 + 3DGS OptimizationParams)
+    bary_lr_init: float = 5e-3
+    bary_lr_final: float = 5e-5
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    lr_max_steps: int = 15_000
+    eps: float = 1e-15
+    white_background: bool = False
+    # occlusion culling (refine.py:136): apply every 2nd iteration
+    use_occlusion_culling: bool = False
+    cull_every: int = 2
+    log_every: int = 200
+
+
+def make_frosting_optimizer(
+    cfg: FrostingTrainConfig, spatial_extent: float
+) -> optax.GradientTransformation:
+    def adam(lr):
+        return optax.adam(lr, b1=0.9, b2=0.999, eps=cfg.eps)
+
+    shell_lr = (
+        expon_lr(
+            cfg.position_lr_init * spatial_extent,
+            cfg.position_lr_final * spatial_extent,
+            max_steps=cfg.lr_max_steps,
+        )
+        if cfg.learn_shell
+        else 0.0
+    )
+    groups = {
+        "shell_verts": optax.set_to_zero(),
+        "inner_dist": adam(shell_lr) if cfg.learn_shell else optax.set_to_zero(),
+        "outer_dist": adam(shell_lr) if cfg.learn_shell else optax.set_to_zero(),
+        "bary_logits": adam(
+            expon_lr(cfg.bary_lr_init, cfg.bary_lr_final, max_steps=cfg.lr_max_steps)
+        ),
+        "sh_dc": adam(cfg.feature_lr),
+        "sh_rest": adam(cfg.feature_lr / 20.0),
+        "opacities_raw": adam(cfg.opacity_lr),
+        "scales_log": adam(cfg.scaling_lr),
+        "quats_raw": adam(cfg.rotation_lr),
+    }
+
+    def label_fn(params):
+        return FrostingParams(
+            **{f.name: f.name for f in dataclasses.fields(FrostingParams)}
+        )
+
+    return optax.multi_transform(groups, label_fn)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tx", "rcfg", "cfg", "active_sh_degree")
+)
+def frosting_train_step(
+    params: FrostingParams,
+    opt_state,
+    meta: FrostingMeta,
+    camera: Camera,
+    gt_image: jnp.ndarray,
+    gauss_mask: jnp.ndarray,  # [N_total] 1 = render (occlusion culling)
+    tx,
+    rcfg: RasterConfig,
+    cfg: FrostingTrainConfig,
+    active_sh_degree: int,
+):
+    bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
+
+    def loss_fn(p):
+        means, scales, quats, opac, sh = activate_frosting(p, meta)
+        opac = opac * gauss_mask
+        out = render(
+            means, scales, quats, opac, sh, camera, rcfg, bg=bg,
+            active_sh_degree=active_sh_degree,
+        )
+        loss = (1.0 - cfg.lambda_dssim) * l1_loss(out.image, gt_image) + (
+            cfg.lambda_dssim
+        ) * (1.0 - ssim(out.image, gt_image))
+        return loss, {
+            "psnr": psnr(jnp.clip(out.image, 0, 1), gt_image),
+            "overflow": out.overflow,
+        }
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    aux["loss"] = loss
+    return params, opt_state, aux
+
+
+def precompute_visibility(
+    params: FrostingParams,
+    meta: FrostingMeta,
+    cameras: List[Camera],
+    rcfg: RasterConfig,
+) -> np.ndarray:
+    """[n_cams, N_total] per-camera gaussian visibility from shell-face
+    visibility (refine.py:413-455): a frosting Gaussian is kept if its
+    cell's face is seen by the camera; background Gaussians always kept."""
+    from frosting_tpu.ops import mesh_raster
+
+    n_f = params.bary_logits.shape[0]
+    n_bg = 0 if meta.bg is None else meta.bg.capacity
+    out = np.ones((len(cameras), n_f + n_bg), np.float32)
+    faces_np = np.asarray(meta.faces)
+    for i, cam in enumerate(cameras):
+        frags = mesh_raster.rasterize_mesh(
+            params.shell_verts, meta.faces, cam, rcfg
+        )
+        seen = np.zeros((faces_np.shape[0] + 1,), bool)
+        pf = np.asarray(frags.pix_to_face).ravel()
+        seen[pf[pf >= 0]] = True
+        out[i, :n_f] = seen[np.asarray(meta.cell_idx)]
+    return out
+
+
+def train(
+    params: FrostingParams,
+    meta: FrostingMeta,
+    spatial_extent: float,
+    cameras: List[Camera],
+    gt_images: np.ndarray,
+    rcfg: RasterConfig,
+    cfg: FrostingTrainConfig = FrostingTrainConfig(),
+    start_iteration: int = 0,
+    seed: int = 0,
+    log_fn=print,
+):
+    tx = make_frosting_optimizer(cfg, spatial_extent)
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(seed)
+    gt_dev = jax.device_put(jnp.asarray(gt_images))
+
+    n_total = params.bary_logits.shape[0] + (
+        0 if meta.bg is None else meta.bg.capacity
+    )
+    ones_mask = jnp.ones((n_total,), jnp.float32)
+    vis = None
+    if cfg.use_occlusion_culling:
+        vis = precompute_visibility(params, meta, cameras, rcfg)
+
+    history: List[Dict] = []
+    order = rng.permutation(len(cameras))
+    pos = 0
+    t0 = time.time()
+    for it in range(start_iteration + 1, start_iteration + cfg.iterations + 1):
+        if pos >= len(order):
+            order = rng.permutation(len(cameras))
+            pos = 0
+        ci = int(order[pos])
+        pos += 1
+        if vis is not None and it % cfg.cull_every == 0:
+            mask = jnp.asarray(vis[ci])
+        else:
+            mask = ones_mask
+        params, opt_state, aux = frosting_train_step(
+            params, opt_state, meta, cameras[ci], gt_dev[ci], mask,
+            tx, rcfg, cfg, cfg.sh_degree,
+        )
+        if (it - start_iteration) % cfg.log_every == 0 or it == (
+            start_iteration + cfg.iterations
+        ):
+            m = {
+                "iter": it,
+                "loss": float(aux["loss"]),
+                "psnr": float(aux["psnr"]),
+                "iters_per_s": cfg.log_every / max(time.time() - t0, 1e-9),
+            }
+            t0 = time.time()
+            history.append(m)
+            if log_fn:
+                log_fn(
+                    f"[frosting] it {m['iter']:6d} loss {m['loss']:.4f} "
+                    f"psnr {m['psnr']:.2f} ({m['iters_per_s']:.1f} it/s)"
+                )
+    return params, history

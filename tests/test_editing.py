@@ -1,0 +1,104 @@
+"""Editing runtime: identity edits are exact; rigid motions transport the
+frosting correctly; LBS skinning behaves."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frosting_tpu.cameras import look_at_camera
+from frosting_tpu.models import editing, frosting as frosting_lib
+from frosting_tpu.ops import quat as quat_ops
+from frosting_tpu.raster import RasterConfig, render
+from tests.test_mesh import icosphere
+
+
+def _make_frosting(seed=0, n=2000):
+    v, f = icosphere(2)
+    rng = np.random.default_rng(seed)
+    params = frosting_lib.FrostingParams(
+        shell_verts=jnp.asarray(v, jnp.float32),
+        inner_dist=jnp.full((len(v),), -0.08, jnp.float32),
+        outer_dist=jnp.full((len(v),), 0.08, jnp.float32),
+        bary_logits=jnp.asarray(rng.normal(size=(n, 6)), jnp.float32),
+        scales_log=jnp.full((n, 3), np.log(0.04), jnp.float32),
+        quats_raw=jnp.asarray(
+            rng.normal(size=(n, 4)) + np.array([2.0, 0, 0, 0]), jnp.float32
+        ),
+        opacities_raw=jnp.full((n,), 1.5, jnp.float32),
+        sh_dc=jnp.asarray(rng.normal(size=(n, 1, 3)) * 0.5, jnp.float32),
+        sh_rest=jnp.zeros((n, 15, 3), jnp.float32),
+    )
+    meta = frosting_lib.FrostingMeta(
+        faces=jnp.asarray(f, jnp.int32),
+        cell_idx=jnp.asarray(
+            rng.integers(0, len(f), n), jnp.int32
+        ),
+        bg=None,
+    )
+    return params, meta
+
+
+CFG = RasterConfig(width=64, height=64, chunk=32, max_instances=8192, backend="jax")
+CAM = look_at_camera(eye=[0, 0, -3.0], target=[0, 0, 0])
+
+
+def test_identity_edit_matches_direct_render():
+    params, meta = _make_frosting()
+    eg = editing.adapt_frosting(params, meta, params.shell_verts)
+    img_edit = editing.render_edited(eg, CAM, CFG).image
+    m, s, q, o, sh = frosting_lib.activate_frosting(params, meta)
+    img_ref = render(m, s, q, o, sh, CAM, CFG).image
+    np.testing.assert_allclose(
+        np.asarray(img_edit), np.asarray(img_ref), atol=2e-3
+    )
+
+
+def test_rigid_rotation_transports_render():
+    params, meta = _make_frosting()
+    # rotate the whole shell 90deg about z; camera rotated identically must
+    # see the same image
+    angle = np.pi / 2
+    Rz = jnp.asarray(
+        [
+            [np.cos(angle), -np.sin(angle), 0],
+            [np.sin(angle), np.cos(angle), 0],
+            [0, 0, 1],
+        ],
+        jnp.float32,
+    )
+    new_verts = params.shell_verts @ Rz.T
+    eg = editing.adapt_frosting(params, meta, new_verts)
+    img_rot = editing.render_edited(eg, CAM, CFG).image
+
+    # original shell, camera moved to the pre-image of the rotation
+    eye = np.array([0.0, 0.0, -3.0])
+    Rz_np = np.asarray(Rz)
+    cam2 = look_at_camera(eye=Rz_np.T @ eye, target=[0, 0, 0],
+                          up=tuple(Rz_np.T @ np.array([0, 1.0, 0])))
+    eg0 = editing.adapt_frosting(params, meta, params.shell_verts)
+    img_ref = editing.render_edited(eg0, cam2, CFG).image
+    diff = np.abs(np.asarray(img_rot) - np.asarray(img_ref))
+    assert diff.mean() < 5e-3, diff.mean()
+
+
+def test_deformation_masking_kills_stretched_cells():
+    params, meta = _make_frosting()
+    # blow the shell up 5x: every cell stretches >2x -> all opacities 0
+    eg = editing.adapt_frosting(
+        params, meta, params.shell_verts * 5.0, deformation_threshold=2.0
+    )
+    assert float(eg.opacities.max()) == 0.0
+
+
+def test_lbs_rigid_bone():
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    w = np.ones((3, 1), np.float32)
+    rest = np.eye(4, dtype=np.float32)[None]
+    pose = np.eye(4, dtype=np.float32)[None].copy()
+    pose[0, :3, 3] = [1.0, 2.0, 3.0]  # translate
+    out = editing.lbs_pose_verts(
+        jnp.asarray(v), jnp.asarray(w), jnp.asarray(rest), jnp.asarray(pose)
+    )
+    np.testing.assert_allclose(np.asarray(out), v + np.array([1, 2, 3]), atol=1e-5)

@@ -1,0 +1,100 @@
+"""Extraction stack: marching tets, FFT Poisson, cleaning, and the full
+shell pipeline on a synthetic sphere of Gaussians."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from frosting_tpu.extract import marching, meshclean, poisson
+from frosting_tpu.raster import RasterConfig
+from frosting_tpu.scene import synthetic
+from frosting_tpu.extract.shell import ShellConfig, extract_shell
+
+
+def test_marching_tets_sphere():
+    n = 40
+    xs = np.linspace(-1.2, 1.2, n)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    field = 1.0 - np.sqrt(X**2 + Y**2 + Z**2)
+    verts, faces = marching.marching_tets(
+        field, 0.0, origin=(-1.2,) * 3, spacing=(2.4 / (n - 1),) * 3
+    )
+    r = np.linalg.norm(verts, axis=1)
+    assert abs(r.mean() - 1.0) < 5e-3
+    assert r.std() < 2e-3
+    # watertight: every edge shared by exactly 2 faces
+    e = np.sort(
+        np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]),
+        axis=1,
+    )
+    _, cnt = np.unique(e, axis=0, return_counts=True)
+    assert (cnt == 2).all()
+
+
+def test_poisson_sphere_from_points():
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(20000, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts = d * 1.0
+    verts, faces = poisson.poisson_reconstruct(
+        pts.astype(np.float32), d.astype(np.float32), resolution=96
+    )
+    assert len(verts) > 1000
+    r = np.linalg.norm(verts, axis=1)
+    assert abs(np.median(r) - 1.0) < 0.05, np.median(r)
+    # orientation: outward
+    from frosting_tpu.ops import mesh as mesh_ops
+
+    fn = np.asarray(
+        mesh_ops.face_normals(jnp.asarray(verts, jnp.float32), jnp.asarray(faces, jnp.int32))
+    )
+    c = verts[faces].mean(axis=1)
+    assert (np.sum(fn * c, axis=1) > 0).mean() > 0.95
+
+
+def test_decimation_and_components():
+    rng = np.random.default_rng(1)
+    d = rng.normal(size=(5000, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    verts, faces = poisson.poisson_reconstruct(
+        d.astype(np.float32), d.astype(np.float32), resolution=64
+    )
+    v2, f2 = meshclean.decimate_vertex_clustering(verts, faces, 2000)
+    assert len(v2) <= 2500
+    assert len(f2) > 100
+    v3, f3 = meshclean.largest_component(v2, f2)
+    labels = meshclean.face_components(f3, len(v3))
+    assert len(np.unique(labels)) == 1
+
+
+def test_shell_extraction_on_gaussian_sphere():
+    rng = np.random.default_rng(2)
+    n = 4000
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    means = jnp.asarray(d, jnp.float32)
+    scales = jnp.full((n, 3), 0.05, jnp.float32)
+    quats = jnp.concatenate(
+        [jnp.ones((n, 1)), jnp.zeros((n, 3))], axis=1
+    )
+    opac = jnp.full((n,), 0.9, jnp.float32)
+
+    rcfg = RasterConfig(
+        width=64, height=64, chunk=32, max_instances=16384, backend="jax"
+    )
+    cams = synthetic.camera_ring(n_cams=6, radius=3.5)
+    cfg = ShellConfig(
+        surface_level=0.3,
+        poisson_resolution=80,
+        target_vertices=5000,
+        knn_k=8,
+    )
+    verts, faces, aux = extract_shell(
+        means, scales, quats, opac, cams, rcfg, cfg
+    )
+    assert len(verts) > 500
+    assert len(faces) > 500
+    r = np.linalg.norm(verts, axis=1)
+    # shell should wrap the gaussian sphere (radius 1 +/- a few sigma)
+    assert 0.8 < np.median(r) < 1.35, np.median(r)
+    sp = aux["surface_points"]
+    assert len(sp) > 2000

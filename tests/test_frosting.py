@@ -1,0 +1,75 @@
+"""Frosting model/refinement quality from a clean Gaussian model: shell ->
+init -> refine must reconstruct sharply (this isolates stages 3-5 from the
+quality of the tiny-budget trainers in the integration test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frosting_tpu.extract.shell import ShellConfig, extract_shell
+from frosting_tpu.models import frosting as frosting_lib
+from frosting_tpu.raster import RasterConfig, render
+from frosting_tpu.scene import synthetic
+from frosting_tpu.train import frosting_trainer
+from frosting_tpu.ops.ssim import psnr
+
+
+def _sphere_scene(n=1500, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    means = d * 1.0
+    return (
+        jnp.asarray(means, jnp.float32),
+        jnp.full((n, 3), 0.06, jnp.float32),
+        jnp.asarray(
+            np.concatenate([np.ones((n, 1)), np.zeros((n, 3))], 1), jnp.float32
+        ),
+        jnp.full((n,), 0.9, jnp.float32),
+        jnp.asarray(
+            np.concatenate(
+                [((means + 1.5) / 3.0)[:, None], np.zeros((n, 15, 3))], 1
+            ),
+            jnp.float32,
+        ),
+    )
+
+
+def test_frosting_refine_quality():
+    rcfg = RasterConfig(
+        width=64, height=64, chunk=32, max_instances=8192, backend="jax"
+    )
+    gt = _sphere_scene()
+    cams = synthetic.camera_ring(n_cams=8, radius=3.2)
+    bg = jnp.zeros((3,), jnp.float32)
+    gt_imgs = synthetic.render_gt_images(gt, cams, rcfg, bg)
+
+    verts, faces, _aux = extract_shell(
+        gt[0], gt[1], gt[2], gt[3], cams, rcfg,
+        ShellConfig(poisson_resolution=80, target_vertices=3000, knn_k=8),
+    )
+    fcfg = frosting_lib.FrostingConfig(n_gaussians=6000, knn_k=8)
+    fparams, meta = frosting_lib.init_frosting(
+        jax.random.key(0), verts, faces, gt[0], gt[1], gt[2], gt[3],
+        None, fcfg, 3.5,
+    )
+    # sanity: layer geometry wraps the surface
+    assert float(fparams.outer_dist.mean()) > 0
+    assert float(fparams.inner_dist.mean()) < 0
+    m, _, _, _, _ = frosting_lib.activate_frosting(fparams, meta)
+    r = np.linalg.norm(np.asarray(m), axis=1)
+    assert 0.75 < np.median(r) < 1.35
+
+    fparams2, hist = frosting_trainer.train(
+        fparams, meta, 3.5, cams, gt_imgs, rcfg,
+        frosting_trainer.FrostingTrainConfig(
+            iterations=300, lr_max_steps=300, log_every=100
+        ),
+        log_fn=None,
+    )
+    assert hist[-1]["psnr"] > 25.0, hist
+
+    # occlusion-culling path runs and does not corrupt training
+    vis = frosting_trainer.precompute_visibility(fparams2, meta, cams[:2], rcfg)
+    assert vis.shape[1] == 6000
+    assert 0.1 < vis.mean() < 1.0  # some faces culled per view
