@@ -110,7 +110,11 @@ def eval_sh(degree: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """
     basis = eval_sh_bases(degree, dirs)
     k = num_sh_coeffs(degree)
-    return jnp.einsum("...k,...kc->...c", basis, sh[..., :k, :])
+    # Unrolled weighted sum instead of einsum: the batched [.,k]x[.,k,c]
+    # contraction lowers to a skinny dot_general, which both runs at bf16
+    # by default on TPU and trips a slow-gather runtime mode (see
+    # ops/cov.py matvec_rows note). k <= 25 elementwise FMAs are fast.
+    return jnp.sum(basis[..., :, None] * sh[..., :k, :], axis=-2)
 
 
 def sh_to_rgb(sh_dc: jnp.ndarray) -> jnp.ndarray:

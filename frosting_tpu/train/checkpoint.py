@@ -1,0 +1,49 @@
+"""Checkpoint save/restore via orbax (the torch-pickle .pt analogue).
+
+The reference saves {state_dict, optimizer_state_dict, iteration} pickles
+(sugar_model.py:2389-2394, frosting_model.py:1739-1744) and never resumes
+mid-stage; here every stage state is an orbax-serializable pytree, so both
+artifact hand-off AND mid-stage resume come for free.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save(path: str, state: Any, force: bool = True) -> None:
+    """Save any pytree of arrays to `path` (a directory)."""
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckpt:
+        ckpt.save(path, state, force=force)
+
+
+def restore(path: str, template: Any) -> Any:
+    """Restore a pytree saved with save(); `template` provides the
+    structure/shapes (e.g. a freshly-initialized state)."""
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckpt:
+        return ckpt.restore(path, template)
+
+
+def save_npz(path: str, state: Any) -> None:
+    """Flat .npz fallback (no orbax dependency at load time)."""
+    leaves, treedef = jax.tree.flatten(state)
+    np.savez(
+        path,
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+
+
+def load_npz(path: str, template: Any) -> Any:
+    z = np.load(path)
+    leaves, treedef = jax.tree.flatten(template)
+    new_leaves = [
+        jax.numpy.asarray(z[f"leaf_{i}"]) for i in range(len(leaves))
+    ]
+    return jax.tree.unflatten(treedef, new_leaves)

@@ -41,6 +41,12 @@ class SugarTrainConfig:
     entropy_from: int = 7_000
     entropy_until: int = 9_000
     entropy_factor: float = 0.1
+    # regularization method: "density" (coarse_density.py), "sdf"
+    # (coarse_sdf.py), or "dn_consistency" (density + depth-normal loss,
+    # coarse_density_and_dn_consistency.py)
+    method: str = "density"
+    dn_consistency_factor: float = 0.05
+    spatial_extent: float = 1.0  # used by the sdf-mode loss scaling
     # sdf regularization (coarse_density.py:112-160)
     regularize_from: int = 7_000
     sdf_from: int = 9_000
@@ -98,14 +104,40 @@ def sugar_train_step(
                 visible & (p.mask > 0.5), cfg.n_sdf_samples,
                 cfg.sdf_sampling_scale_factor,
             )
-            loss = loss + cfg.sdf_estimation_factor * (
-                sugar_lib.sdf_estimation_density_loss(
-                    inp, means, scales, quats, opac, beta_mode=cfg.beta_mode
+            if cfg.method == "sdf":
+                # sdf-mode: depth-anchored |sdf| loss with gradients
+                # through the rendered depth (coarse_sdf.py:577-650)
+                depth_map, _nm, _acc = sugar_lib.render_depth_normal_maps(
+                    means, scales, quats, opac, camera, rcfg
                 )
-            )
+                loss = loss + cfg.sdf_estimation_factor * (
+                    sugar_lib.sdf_estimation_sdf_mode_loss(
+                        inp, means, scales, quats, opac, depth_map,
+                        camera, rcfg, cfg.spatial_extent,
+                        beta_mode=cfg.beta_mode,
+                    )
+                )
+            else:
+                loss = loss + cfg.sdf_estimation_factor * (
+                    sugar_lib.sdf_estimation_density_loss(
+                        inp, means, scales, quats, opac,
+                        beta_mode=cfg.beta_mode,
+                    )
+                )
             loss = loss + cfg.sdf_better_normal_factor * (
                 sugar_lib.better_normal_loss(inp, means, scales, quats, opac)
             )
+            if cfg.method == "dn_consistency":
+                depth_map, normal_map, acc = (
+                    sugar_lib.render_depth_normal_maps(
+                        means, scales, quats, opac, camera, rcfg
+                    )
+                )
+                loss = loss + cfg.dn_consistency_factor * (
+                    sugar_lib.dn_consistency_loss(
+                        depth_map, normal_map, acc, camera, rcfg
+                    )
+                )
         aux = {
             "psnr": psnr(jnp.clip(out.image, 0, 1), gt_image),
             "overflow": out.overflow,
