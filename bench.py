@@ -46,18 +46,21 @@ def main():
     )
     target = jnp.zeros((3, 512, 512), jnp.float32)
 
-    def loss_fn(*g):
-        out = render(*g, cam, cfg)
-        return jnp.mean(jnp.abs(out.image - target))
+    # NOTE: camera/target are explicit arguments, never closures — executing
+    # a jitted program with closed-over device-array constants flips this
+    # TPU runtime into a persistent slow-gather mode (~2000x on binning).
+    def loss_fn(means, scales, quats, opac, sh, camera, tgt):
+        out = render(means, scales, quats, opac, sh, camera, cfg)
+        return jnp.mean(jnp.abs(out.image - tgt))
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
-    g = step(*gs)  # compile
+    g = step(*gs, cam, target)  # compile
     jax.block_until_ready(g)
 
     iters = 20
     t0 = time.time()
     for _ in range(iters):
-        g = step(*gs)
+        g = step(*gs, cam, target)
     jax.block_until_ready(g)
     dt = time.time() - t0
 

@@ -152,9 +152,12 @@ def main(argv=None):
         bg = jnp.full((3,), 1.0 if args.white_bg else 0.0, jnp.float32)
 
         @jax.jit
+        def render_cam_p(fp, mt, cam, b):
+            means, scales, quats, opac, sh = activate_frosting(fp, mt)
+            return render(means, scales, quats, opac, sh, cam, rcfg, bg=b).image
+
         def render_cam(cam):
-            means, scales, quats, opac, sh = activate_frosting(fparams, meta)
-            return render(means, scales, quats, opac, sh, cam, rcfg, bg=bg).image
+            return render_cam_p(fparams, meta, cam, bg)
 
         test_cams = [c.camera for c in scene.test_cameras]
         test_gt = np.stack([c.image() for c in scene.test_cameras])

@@ -32,6 +32,26 @@ def remove_statistical_outliers(
     return out, keep
 
 
+def decimate(
+    verts: np.ndarray, faces: np.ndarray, target_vertices: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Quadric-error-metric decimation via the native C++ component
+    (frosting_tpu/native/qem.cpp — the simplify_quadric_decimation
+    replacement); falls back to vertex clustering if the native library
+    cannot be built."""
+    if len(verts) <= target_vertices:
+        return verts, faces
+    try:
+        from frosting_tpu import native
+
+        out = native.qem_decimate(verts, faces, target_vertices)
+        if out is not None:
+            return out[0], out[1].astype(np.int64)
+    except Exception:
+        pass
+    return decimate_vertex_clustering(verts, faces, target_vertices)
+
+
 def decimate_vertex_clustering(
     verts: np.ndarray, faces: np.ndarray, target_vertices: int
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -100,3 +120,36 @@ def largest_component(verts, faces):
     vals, cnts = np.unique(labels, return_counts=True)
     best = vals[np.argmax(cnts)]
     return keep_faces(verts, faces, labels == best)
+
+
+def visibility_cull_components(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    cameras,
+    rcfg,
+    vis_threshold: float = 0.001,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop connected components whose fraction of camera-visible faces is
+    below vis_threshold (coarse_shell.py:565-617: per-camera rasterize,
+    count pix_to_face hits per component)."""
+    import jax.numpy as jnp
+
+    from frosting_tpu.ops import mesh_raster
+
+    labels = face_components(faces, len(verts))
+    n_faces = len(faces)
+    seen = np.zeros(n_faces, bool)
+    vj = jnp.asarray(verts, jnp.float32)
+    fj = jnp.asarray(faces, jnp.int32)
+    for cam in cameras:
+        frags = mesh_raster.rasterize_mesh(vj, fj, cam, rcfg)
+        pf = np.asarray(frags.pix_to_face).ravel()
+        seen[pf[pf >= 0]] = True
+    keep = np.zeros(n_faces, bool)
+    for comp in np.unique(labels):
+        m = labels == comp
+        if seen[m].mean() >= vis_threshold:
+            keep |= m
+    if not keep.any():  # never drop everything
+        return largest_component(verts, faces)
+    return keep_faces(verts, faces, keep)

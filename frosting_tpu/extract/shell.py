@@ -45,6 +45,9 @@ class ShellConfig:
     target_vertices: int = 50_000
     outlier_k: int = 20
     outlier_std: float = 2.0
+    # visibility-based connected-component culling (coarse_shell.py:565-617);
+    # None disables it and keeps only the largest component
+    visibility_threshold: float | None = 0.001
 
 
 @functools.partial(jax.jit, static_argnames=("rcfg",))
@@ -209,10 +212,13 @@ def extract_shell(
     )
     if verbose:
         print(f"[shell] poisson mesh: {len(verts)} verts {len(faces)} faces")
-    verts, faces = meshclean.decimate_vertex_clustering(
-        verts, faces, cfg.target_vertices
-    )
-    verts, faces = meshclean.largest_component(verts, faces)
+    verts, faces = meshclean.decimate(verts, faces, cfg.target_vertices)
+    if cfg.visibility_threshold is not None:
+        verts, faces = meshclean.visibility_cull_components(
+            verts, faces, cameras, rcfg, cfg.visibility_threshold
+        )
+    else:
+        verts, faces = meshclean.largest_component(verts, faces)
     if verbose:
         print(f"[shell] cleaned mesh: {len(verts)} verts {len(faces)} faces")
     aux = {

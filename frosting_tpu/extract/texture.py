@@ -73,7 +73,7 @@ def bake_texture(
     cnt = jnp.zeros((texture_size * texture_size,), jnp.float32)
 
     @jax.jit
-    def accumulate(acc, cnt, image, pix_to_face, bary):
+    def accumulate(acc, cnt, image, pix_to_face, bary, uvs_j):
         pf = pix_to_face.reshape(-1)
         br = bary.reshape(-1, 3)
         cols = image.reshape(3, -1).T  # [P, 3]
@@ -93,7 +93,7 @@ def bake_texture(
         image = render_fn(cam)
         frags = mesh_raster.rasterize_mesh(verts, faces, cam, rcfg)
         acc, cnt = accumulate(
-            acc, cnt, jnp.asarray(image), frags.pix_to_face, frags.bary
+            acc, cnt, jnp.asarray(image), frags.pix_to_face, frags.bary, uvs_j
         )
 
     tex = np.array(acc).reshape(texture_size, texture_size, 3)
@@ -179,8 +179,8 @@ def extract_textured_mesh(
     faces = meta.faces
 
     @jax.jit
-    def render_cam(cam):
-        means, scales, quats, opac, sh = activate_frosting(fparams, meta)
+    def render_cam_p(fp, mt, cam):
+        means, scales, quats, opac, sh = activate_frosting(fp, mt)
         return jnp.clip(
             render(
                 means, scales, quats, opac, sh, cam, rcfg,
@@ -189,6 +189,9 @@ def extract_textured_mesh(
             0.0,
             1.0,
         )
+
+    def render_cam(cam):
+        return render_cam_p(fparams, meta, cam)
 
     means, _, _, _, sh = activate_frosting(fparams, meta)
     fc = np.asarray(verts)[np.asarray(faces)].mean(axis=1)

@@ -86,10 +86,12 @@ def make_sharded_train_step(
     n_tile = mesh.shape["tile"]
     s_cfg = strip_config(rcfg, n_tile)
     strip_h = s_cfg.height
-    bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
+    bg_value = 1.0 if cfg.white_background else 0.0
 
     def device_loss(params, camera, gt_strip, probe, active_deg):
         """Runs per device inside shard_map."""
+        # bg constructed inside the trace (no device-constant closure)
+        bg = jnp.full((3,), bg_value, jnp.float32)
         tile_idx = jax.lax.axis_index("tile")
         y0 = tile_idx * strip_h
 

@@ -67,9 +67,14 @@ def render_gt_images(
     gt_gaussians, cameras: List[Camera], cfg: RasterConfig, bg
 ) -> np.ndarray:
     """Render ground-truth views [n_cams, 3, H, W] with the jax backend."""
-    cfg = dataclasses.replace(cfg, backend=cfg.backend)
-    fn = jax.jit(lambda cam: render(*gt_gaussians, cam, cfg, bg=bg).image)
-    return np.stack([np.asarray(fn(c)) for c in cameras])
+    # all arrays as explicit args — closed-over device constants trip the
+    # TPU runtime's slow-gather mode (PERF_NOTES.md)
+    fn = jax.jit(
+        lambda g, cam, b: render(*g, cam, cfg, bg=b).image
+    )
+    return np.stack(
+        [np.asarray(fn(gt_gaussians, c, jnp.asarray(bg))) for c in cameras]
+    )
 
 
 def degraded_init(

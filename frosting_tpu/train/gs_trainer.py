@@ -233,10 +233,11 @@ def evaluate(
     rcfg: RasterConfig,
     cfg: GSTrainConfig,
 ) -> Dict[str, float]:
-    bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
-
     @jax.jit
     def render_one(params, camera):
+        bg = jnp.full(
+            (3,), 1.0 if cfg.white_background else 0.0, jnp.float32
+        )
         means, scales, quats, opac, sh = activate(params)
         return render(
             means, scales, quats, opac, sh, camera, rcfg, bg=bg,
