@@ -165,6 +165,92 @@ def lbs_pose_verts(
     return jnp.sum(bone_weights[..., None] * per_bone, axis=1)
 
 
+class CompositeScene(NamedTuple):
+    """Several frosting models merged into one renderable scene
+    (build_composite_scene, blender/frosting_utils.py:171-471)."""
+
+    params: frosting_lib.FrostingParams
+    meta: frosting_lib.FrostingMeta
+    vert_ranges: np.ndarray  # [M, 2] shell-vertex [start, end) per model
+    gauss_ranges: np.ndarray  # [M, 2] gaussian [start, end) per model
+
+
+def build_composite_scene(
+    models,  # list of (FrostingParams, FrostingMeta)
+    world_transforms=None,  # optional [M] 4x4 column-vector matrices
+) -> CompositeScene:
+    """Concatenate frosting models into a single scene; per-model vertex
+    ranges let apply_poses_to_scene edit each mesh independently."""
+    import jax.numpy as jnp
+
+    v_off = 0
+    g_off = 0
+    vert_ranges = []
+    gauss_ranges = []
+    parts = []
+    faces = []
+    cells = []
+    for i, (p, m) in enumerate(models):
+        verts = p.shell_verts
+        if world_transforms is not None:
+            T = jnp.asarray(world_transforms[i], jnp.float32)
+            homog = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], -1)
+            verts = (homog @ T.T)[:, :3]
+            p = dataclasses.replace(p, shell_verts=verts)
+        nv = p.shell_verts.shape[0]
+        ng = p.bary_logits.shape[0]
+        vert_ranges.append((v_off, v_off + nv))
+        gauss_ranges.append((g_off, g_off + ng))
+        parts.append(p)
+        faces.append(np.asarray(m.faces) + v_off)
+        v_off += nv
+        g_off += ng
+
+    def cat(field):
+        return jnp.concatenate([getattr(p, field) for p in parts])
+
+    params = frosting_lib.FrostingParams(
+        shell_verts=cat("shell_verts"),
+        inner_dist=cat("inner_dist"),
+        outer_dist=cat("outer_dist"),
+        bary_logits=cat("bary_logits"),
+        scales_log=cat("scales_log"),
+        quats_raw=cat("quats_raw"),
+        opacities_raw=cat("opacities_raw"),
+        sh_dc=cat("sh_dc"),
+        sh_rest=cat("sh_rest"),
+    )
+    # face offsets must account for concatenated face arrays
+    face_off = np.cumsum([0] + [len(f) for f in faces[:-1]])
+    cells = [
+        np.asarray(m.cell_idx) + face_off[i]
+        for i, (_p, m) in enumerate(models)
+    ]
+    meta = frosting_lib.FrostingMeta(
+        faces=jnp.asarray(np.concatenate(faces), jnp.int32),
+        cell_idx=jnp.asarray(np.concatenate(cells), jnp.int32),
+        bg=None,
+    )
+    return CompositeScene(
+        params=params,
+        meta=meta,
+        vert_ranges=np.asarray(vert_ranges),
+        gauss_ranges=np.asarray(gauss_ranges),
+    )
+
+
+def pose_composite(
+    scene: CompositeScene,
+    mesh_index: int,
+    new_verts_for_mesh: jnp.ndarray,
+) -> jnp.ndarray:
+    """New full shell_verts with one model's vertices replaced
+    (apply_poses_to_scene writes per-mesh slices,
+    blender/frosting_utils.py:505-516)."""
+    s, e = scene.vert_ranges[mesh_index]
+    return scene.params.shell_verts.at[s:e].set(new_verts_for_mesh)
+
+
 def load_blender_package(path: str) -> Dict:
     """Parse a Blender-exported JSON package (bones, weights, frames,
     cameras) into numpy structures (load_blender_package,

@@ -54,28 +54,64 @@ def bin_gaussians(
     counts = jnp.where(valid, w * (ty1 - ty0), 0).astype(i32)
 
     # --- instance expansion (duplicateWithKeys, rasterizer_impl.cu:70-96) ---
+    # Run-length decode via scatter + cumsum instead of per-instance
+    # searchsorted/gather: XLA-TPU random gathers run at scalar rate, so the
+    # naive decode (17M+ gathered elements for 1M instances) costs ~180 ms;
+    # this formulation is a handful of 100k-element scatters plus 1M-element
+    # cumsums (~ms) and is EXACT (integer arithmetic only).
     cum = jnp.cumsum(counts)  # inclusive
+    offs = cum - counts  # exclusive
     total = cum[-1] if n > 0 else jnp.zeros((), i32)
     overflow = total > cap
     inst = jnp.arange(cap, dtype=i32)
-    # gaussian owning instance slot i: first g with cum[g] > i
-    gauss = jnp.searchsorted(cum, inst, side="right").astype(i32)
     inst_valid = inst < total
-    gauss_c = jnp.minimum(gauss, n - 1)
-    base = cum[gauss_c] - counts[gauss_c]  # exclusive offset of owner
-    rank = inst - base
-    tile_x = tx0[gauss_c] + rank % jnp.maximum(w[gauss_c], 1)
-    tile_y = ty0[gauss_c] + rank // jnp.maximum(w[gauss_c], 1)
+
+    # gauss[i] = #{g : cum[g] <= i}  (== searchsorted right)
+    mark = jnp.zeros((cap,), i32).at[cum].add(1, mode="drop")
+    gauss_c = jnp.minimum(jnp.cumsum(mark), n - 1)
+
+    def decode(vals):
+        """Per-instance step function vals[gauss[i]] without gathers:
+        telescoping diff-scatter at run starts, then cumsum."""
+        delta = (
+            jnp.zeros((cap,), i32)
+            .at[0]
+            .add(vals[0])
+            .at[offs[1:]]
+            .add(jnp.diff(vals), mode="drop")
+        )
+        return jnp.cumsum(delta)
+
+    # depth ORDER as integer ranks (exact; same ordering as float depths
+    # with stable tie-break by gaussian index)
+    depth_order = jnp.argsort(
+        jnp.where(valid, depths, jnp.inf), stable=True
+    ).astype(i32)
+    depth_rank = (
+        jnp.zeros((n,), i32).at[depth_order].set(jnp.arange(n, dtype=i32))
+    )
+
+    i_tx0 = decode(tx0)
+    i_ty0 = decode(ty0)
+    i_w = jnp.maximum(decode(w), 1)
+    i_off = decode(offs)
+    i_rank = inst - i_off
+    # small-int div via f32 (exact for values < 2^24)
+    rr = i_rank.astype(jnp.float32)
+    ww = i_w.astype(jnp.float32)
+    ry = jnp.floor(rr / ww)
+    tile_x = i_tx0 + (rr - ry * ww).astype(i32)
+    tile_y = i_ty0 + ry.astype(i32)
     tile_id = jnp.where(
         inst_valid, tile_y * cfg.tiles_x + tile_x, cfg.n_tiles
     ).astype(i32)
-    inst_depth = jnp.where(inst_valid, depths[gauss_c], jnp.inf).astype(jnp.float32)
+    inst_rank = jnp.where(inst_valid, decode(depth_rank), n).astype(i32)
     inst_gauss = jnp.where(inst_valid, gauss_c, n).astype(i32)
 
-    # --- stable lexicographic sort on (tile, depth); ties keep gaussian
-    # (=submission) order like the CUDA stable radix sort ---
-    tile_s, _depth_s, gauss_s = jax.lax.sort(
-        (tile_id, inst_depth, inst_gauss), num_keys=2, is_stable=True
+    # --- stable lexicographic sort on (tile, depth-rank); ties keep
+    # gaussian (=submission) order like the CUDA stable radix sort ---
+    tile_s, _rank_s, gauss_s = jax.lax.sort(
+        (tile_id, inst_rank, inst_gauss), num_keys=2, is_stable=True
     )
 
     # --- per-tile ranges (identifyTileRanges, rasterizer_impl.cu:116-138) ---

@@ -43,6 +43,11 @@ class GSTrainConfig:
     white_background: bool = False
     capacity: int = 1 << 18
     log_every: int = 200
+    # failure recovery (greenfield vs the reference's save-only pickles,
+    # SURVEY.md §5): periodic snapshots + auto-rollback on non-finite loss
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 1_000
+    metrics_jsonl: Optional[str] = None
 
 
 class TrainState(NamedTuple):
@@ -166,11 +171,21 @@ def train(
     log_fn=print,
 ) -> tuple[TrainState, List[Dict]]:
     """Python-side training driver. Returns final state + metric history."""
+    from frosting_tpu.train import checkpoint as ckpt_lib
+    from frosting_tpu.utils.profiling import MetricsLogger
+
     state, tx = init_state(points, colors, spatial_extent, cfg)
     key = jax.random.key(seed)
     rng = np.random.default_rng(seed)
     history: List[Dict] = []
     gt_dev = jax.device_put(jnp.asarray(gt_images))
+    mlog = MetricsLogger(cfg.metrics_jsonl)
+    snapshot = None  # in-memory rollback point for NaN recovery
+    last_ckpt_path = None
+    if cfg.checkpoint_dir:
+        import os
+
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
 
     order = rng.permutation(len(cameras))
     pos = 0
@@ -183,9 +198,28 @@ def train(
         pos += 1
 
         active_deg = min(cfg.sh_degree, (it - 1) // cfg.sh_increase_interval)
-        state, metrics = train_step(
+        new_state, metrics = train_step(
             state, cameras[ci], gt_dev[ci], tx, rcfg, cfg, active_deg
         )
+        loss_val = float(metrics["loss"])
+        if not np.isfinite(loss_val):
+            # failure recovery: roll back to the last snapshot (or just
+            # skip the poisoned update when none exists yet)
+            if log_fn:
+                log_fn(f"[gs] it {it}: non-finite loss, rolling back")
+            if snapshot is not None:
+                state = snapshot
+            continue
+        state = new_state
+
+        if (
+            cfg.checkpoint_every > 0
+            and it % cfg.checkpoint_every == 0
+        ):
+            snapshot = state
+            if cfg.checkpoint_dir:
+                last_ckpt_path = f"{cfg.checkpoint_dir}/gs_{it:07d}.npz"
+                ckpt_lib.save_npz(last_ckpt_path, state.params)
 
         if (
             cfg.densify_from <= it < cfg.densify_until
@@ -217,12 +251,16 @@ def train(
             }
             t0 = time.time()
             history.append(m)
+            mlog.log(it, **{k: v for k, v in m.items() if k != "iter"})
             if log_fn:
                 log_fn(
                     f"[gs] it {m['iter']:6d} loss {m['loss']:.4f} "
                     f"psnr {m['psnr']:.2f} n {m['n_active']} "
                     f"({m['iters_per_s']:.1f} it/s)"
                 )
+    mlog.close()
+    if cfg.checkpoint_dir:
+        ckpt_lib.save_npz(f"{cfg.checkpoint_dir}/gs_final.npz", state.params)
     return state, history
 
 
