@@ -66,6 +66,16 @@ class FrostingConfig:
     max_offset_edge_factor: float = 1.5
 
 
+def contract(x: jnp.ndarray, c: jnp.ndarray, L: float) -> jnp.ndarray:
+    """MipNeRF360-style contraction of points beyond distance L from center
+    c (frosting_model.py:36-48); used to damp cell volumes of unbounded
+    background geometry."""
+    d = jnp.linalg.norm(x - c, axis=-1, keepdims=True)
+    d = jnp.maximum(d, 1e-12)
+    contracted = c + L * (2.0 - L / d) * (x - c) / d
+    return jnp.where(d > L, contracted, x)
+
+
 def shell_sheets(p: FrostingParams, faces: jnp.ndarray):
     normals = mesh_ops.vertex_normals(p.shell_verts, faces)
     inner = p.shell_verts + p.inner_dist[:, None] * normals
@@ -177,6 +187,8 @@ def init_frosting(
     cfg: FrostingConfig,
     spatial_extent: float = 1.0,
     use_background: bool = False,
+    contract_points: bool = False,
+    camera_center=None,
 ) -> Tuple[FrostingParams, FrostingMeta]:
     """Build the frosting layer around a shell mesh (frosting_model.py
     ctor :288-591)."""
@@ -218,10 +230,26 @@ def init_frosting(
     outer_dist = jnp.maximum(outer_dist, min_sz)
     inner_dist = jnp.minimum(inner_dist, -min_sz)
 
-    # cell volumes ~ base area x mean thickness (fm:437-495, Heron)
-    areas = mesh_ops.face_areas(shell_verts, faces_j)
-    thick = (outer_dist - inner_dist)[faces_j].mean(axis=1)
-    volumes = areas * thick
+    # cell volumes ~ base area x mean thickness (fm:437-495, Heron); for
+    # unbounded scenes both are computed in contracted space so distant
+    # background cells don't swallow the gaussian budget (fm:443-471)
+    vol_verts = shell_verts
+    thick_v = outer_dist - inner_dist
+    if contract_points:
+        c = (
+            jnp.asarray(camera_center, jnp.float32).reshape(1, 3)
+            if camera_center is not None
+            else jnp.zeros((1, 3), jnp.float32)
+        )
+        vol_verts = contract(shell_verts, c, spatial_extent)
+        d = jnp.linalg.norm(shell_verts - c, axis=-1)
+        damp = jnp.where(
+            d > spatial_extent, (spatial_extent / jnp.maximum(d, 1e-12)) ** 2, 1.0
+        )
+        thick_v = thick_v * damp
+    areas = mesh_ops.face_areas(vol_verts, faces_j)
+    thick = thick_v[faces_j].mean(axis=1)
+    volumes = areas * jnp.maximum(thick, cfg.min_frosting_size * spatial_extent)
 
     # volume-proportional allocation
     k1, k2, k3 = jax.random.split(key, 3)

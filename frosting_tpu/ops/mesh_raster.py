@@ -132,7 +132,12 @@ def rasterize_mesh(
 
     def body(carry, xs):
         out_z, out_f, out_b, zbuf, pface, bary = carry
-        block, out_row, first, last, px0, py0 = xs
+        block, meta, pxy = xs
+        out_row = Binned.meta_out(meta)
+        first = Binned.meta_first(meta)
+        last = Binned.meta_last(meta)
+        px0 = Binned.pxy_px0(pxy)
+        py0 = Binned.pxy_py0(pxy)
         ids = jax.lax.dynamic_slice(face_ids, (block * k,), (k,))
         tri_xy = tri_xy_all[ids]
         tri_z = tri_z_all[ids]
@@ -178,14 +183,7 @@ def rasterize_mesh(
         jnp.full((1, p), f, jnp.int32),
         jnp.zeros((3, p), jnp.float32),
     )
-    xs = (
-        binned.work_block,
-        binned.work_out,
-        binned.work_first,
-        binned.work_last,
-        binned.work_px0,
-        binned.work_py0,
-    )
+    xs = (binned.work_block, binned.work_meta, binned.work_pxy)
     (out_z, out_f, out_b, _, _, _), _ = jax.lax.scan(body, init, xs)
 
     def untile(x, c):

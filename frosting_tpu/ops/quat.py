@@ -53,11 +53,14 @@ def from_matrix(m: jnp.ndarray) -> jnp.ndarray:
     m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
     m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
 
-    # Four candidates, each scaled by 4*component^2 (always >= 0).
-    qw2 = jnp.maximum(0.0, 1.0 + m00 + m11 + m22)
-    qx2 = jnp.maximum(0.0, 1.0 + m00 - m11 - m22)
-    qy2 = jnp.maximum(0.0, 1.0 - m00 + m11 - m22)
-    qz2 = jnp.maximum(0.0, 1.0 - m00 - m11 + m22)
+    # Four candidates, each scaled by 4*component^2. The floor of 1e-6 keeps
+    # every branch's sqrt/div GRADIENT finite: unselected candidates receive
+    # zero cotangent, but 0 * inf = NaN would still leak through sqrt'(0)
+    # (the argmax-selected candidate is always >= 1, far from the floor).
+    qw2 = jnp.maximum(1e-6, 1.0 + m00 + m11 + m22)
+    qx2 = jnp.maximum(1e-6, 1.0 + m00 - m11 - m22)
+    qy2 = jnp.maximum(1e-6, 1.0 - m00 + m11 - m22)
+    qz2 = jnp.maximum(1e-6, 1.0 - m00 - m11 + m22)
 
     def safe_div(a, b):
         return a / jnp.maximum(b, 1e-12)

@@ -25,18 +25,43 @@ from frosting_tpu.raster.config import RasterConfig
 
 
 class Binned(NamedTuple):
-    """Static-shape binning result (all int32 unless noted)."""
+    """Static-shape binning result (all int32 unless noted).
+
+    The per-work-item metadata is bit-packed into THREE arrays because the
+    Pallas kernels prefetch them into SMEM (~1 MB total): six separate
+    arrays overflow SMEM for fine tile grids / large instance caps.
+      work_meta = out_row * 4 + first * 2 + last   (out_row == n_tiles -> trash)
+      work_pxy  = px0 << 16 | py0
+    """
 
     padded_gauss: jnp.ndarray  # [padded_rows] gaussian index; N = sentinel
     work_block: jnp.ndarray  # [work_cap] block index into padded instances
-    work_out: jnp.ndarray  # [work_cap] output tile row (n_tiles = trash)
-    work_first: jnp.ndarray  # [work_cap] 1 if first chunk of its tile
-    work_last: jnp.ndarray  # [work_cap] 1 if last chunk of its tile
-    work_px0: jnp.ndarray  # [work_cap] tile origin x in pixels
-    work_py0: jnp.ndarray  # [work_cap] tile origin y in pixels
+    work_meta: jnp.ndarray  # [work_cap] packed (out_row, first, last)
+    work_pxy: jnp.ndarray  # [work_cap] packed (px0, py0)
     n_work: jnp.ndarray  # [] number of real work items
     num_instances: jnp.ndarray  # [] pre-clamp instance count
     overflow: jnp.ndarray  # [] bool, true if max_instances exceeded
+
+    # unpacking helpers (usable on arrays or scalars, in or out of kernels)
+    @staticmethod
+    def meta_out(meta):
+        return meta >> 2
+
+    @staticmethod
+    def meta_first(meta):
+        return (meta >> 1) & 1
+
+    @staticmethod
+    def meta_last(meta):
+        return meta & 1
+
+    @staticmethod
+    def pxy_px0(pxy):
+        return pxy >> 16
+
+    @staticmethod
+    def pxy_py0(pxy):
+        return pxy & 0xFFFF
 
 
 def bin_gaussians(
@@ -158,11 +183,8 @@ def bin_gaussians(
     return Binned(
         padded_gauss=padded_gauss,
         work_block=work_block,
-        work_out=work_out,
-        work_first=work_first,
-        work_last=work_last,
-        work_px0=work_px0,
-        work_py0=work_py0,
+        work_meta=(work_out * 4 + work_first * 2 + work_last).astype(i32),
+        work_pxy=((work_px0 << 16) | work_py0).astype(i32),
         n_work=n_work,
         num_instances=total,
         overflow=overflow,

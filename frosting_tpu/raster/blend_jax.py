@@ -39,7 +39,12 @@ def blend_forward_jax(
 
     def body(carry, xs):
         out, t_all, t_mask, color = carry
-        block, out_row, first, last, px0, py0 = xs
+        block, meta, pxy = xs
+        out_row = Binned.meta_out(meta)
+        first = Binned.meta_first(meta)
+        last = Binned.meta_last(meta)
+        px0 = Binned.pxy_px0(pxy)
+        py0 = Binned.pxy_py0(pxy)
         fields = jax.lax.dynamic_slice(
             padded_fields, (block * k, 0), (k, padded_fields.shape[1])
         )
@@ -64,14 +69,7 @@ def blend_forward_jax(
         jnp.ones((1, p), jnp.float32) + taint,
         jnp.zeros((3, p), jnp.float32) + taint,
     )
-    xs = (
-        binned.work_block,
-        binned.work_out,
-        binned.work_first,
-        binned.work_last,
-        binned.work_px0,
-        binned.work_py0,
-    )
+    xs = (binned.work_block, binned.work_meta, binned.work_pxy)
     (out, _, _, _), _ = jax.lax.scan(body, init, xs)
     return out
 
@@ -92,7 +90,11 @@ def blend_backward_jax(
 
     def body(carry, xs):
         grads, t_all, gc_pre = carry
-        block, out_row, first, _last, px0, py0 = xs
+        block, meta, pxy = xs
+        out_row = Binned.meta_out(meta)
+        first = Binned.meta_first(meta)
+        px0 = Binned.pxy_px0(pxy)
+        py0 = Binned.pxy_py0(pxy)
         fields = jax.lax.dynamic_slice(
             padded_fields, (block * k, 0), (k, padded_fields.shape[1])
         )
@@ -118,13 +120,6 @@ def blend_backward_jax(
         jnp.ones((1, p), jnp.float32) + taint,
         jnp.zeros((1, p), jnp.float32) + taint,
     )
-    xs = (
-        binned.work_block,
-        binned.work_out,
-        binned.work_first,
-        binned.work_last,
-        binned.work_px0,
-        binned.work_py0,
-    )
+    xs = (binned.work_block, binned.work_meta, binned.work_pxy)
     (grads, _, _), _ = jax.lax.scan(body, init, xs)
     return grads

@@ -8,6 +8,9 @@ compositing math is shared with the pure-JAX path (chunk_math.py) — the
 kernel only adds the memory choreography. Per-instance backward gradients go
 to disjoint (chunk, 16) rows of the grads output, replacing the CUDA
 atomicAdd scatter (backward.cu:523-554) with a segment-sum outside.
+
+Work-list metadata arrives as THREE bit-packed scalar-prefetch arrays
+(binning.Binned docstring) to respect the ~1 MB SMEM budget.
 """
 
 from __future__ import annotations
@@ -24,8 +27,10 @@ from frosting_tpu.raster.binning import Binned
 from frosting_tpu.raster.config import INSTANCE_WIDTH, RasterConfig
 
 
-def _pixel_coords(px0, py0, cfg: RasterConfig):
+def _pixel_coords(pxy, cfg: RasterConfig):
     p = cfg.tile_pixels
+    px0 = Binned.pxy_px0(pxy)
+    py0 = Binned.pxy_py0(pxy)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
     px = (px0 + lane % cfg.tile_w).astype(jnp.float32)
     py = (py0 + lane // cfg.tile_w).astype(jnp.float32)
@@ -35,11 +40,8 @@ def _pixel_coords(px0, py0, cfg: RasterConfig):
 def _forward_kernel(
     # scalar prefetch
     s_block,
-    s_out,
-    s_first,
-    s_last,
-    s_px0,
-    s_py0,
+    s_meta,
+    s_pxy,
     # inputs
     inst_ref,  # (K, 16) VMEM
     # outputs
@@ -51,9 +53,10 @@ def _forward_kernel(
     cfg: RasterConfig,
 ):
     w = pl.program_id(0)
-    first = s_first[w]
-    last = s_last[w]
-    is_real = s_out[w] < cfg.n_tiles  # dummy items point at the trash row
+    meta = s_meta[w]
+    first = Binned.meta_first(meta)
+    last = Binned.meta_last(meta)
+    is_real = Binned.meta_out(meta) < cfg.n_tiles
 
     @pl.when(is_real)
     def _():
@@ -62,7 +65,7 @@ def _forward_kernel(
             color_ref[...] = jnp.zeros_like(color_ref)
             t_ref[...] = jnp.ones_like(t_ref)
 
-        px, py = _pixel_coords(s_px0[w], s_py0[w], cfg)
+        px, py = _pixel_coords(s_pxy[w], cfg)
         t_all, t_mask, color = chunk_math.forward_chunk(
             inst_ref[...],
             t_ref[0:1],
@@ -90,7 +93,7 @@ def blend_forward_pallas(
     k = cfg.chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=3,
         grid=(cfg.work_cap,),
         in_specs=[
             pl.BlockSpec(
@@ -101,7 +104,7 @@ def blend_forward_pallas(
         ],
         out_specs=pl.BlockSpec(
             (1, 4, p),
-            lambda w, sb, so, *_: (so[w], 0, 0),
+            lambda w, sb, sm, *_: (sm[w] >> 2, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -119,11 +122,8 @@ def blend_forward_pallas(
         ),
     )(
         binned.work_block,
-        binned.work_out,
-        binned.work_first,
-        binned.work_last,
-        binned.work_px0,
-        binned.work_py0,
+        binned.work_meta,
+        binned.work_pxy,
         padded_fields,
     )
 
@@ -131,11 +131,8 @@ def blend_forward_pallas(
 def _backward_kernel(
     # scalar prefetch
     s_block,
-    s_out,
-    s_first,
-    s_last,
-    s_px0,
-    s_py0,
+    s_meta,
+    s_pxy,
     # inputs
     inst_ref,  # (K, 16)
     fwd_ref,  # (1, 4, P) forward output of this tile
@@ -148,8 +145,9 @@ def _backward_kernel(
     cfg: RasterConfig,
 ):
     w = pl.program_id(0)
-    first = s_first[w]
-    is_real = s_out[w] < cfg.n_tiles
+    meta = s_meta[w]
+    first = Binned.meta_first(meta)
+    is_real = Binned.meta_out(meta) < cfg.n_tiles
 
     @pl.when(is_real)
     def _():
@@ -164,7 +162,7 @@ def _backward_kernel(
         t_final_mask = fwd_ref[0, 3:4]
         gc_total = jnp.sum(g_color * c_total, axis=0, keepdims=True)
 
-        px, py = _pixel_coords(s_px0[w], s_py0[w], cfg)
+        px, py = _pixel_coords(s_pxy[w], cfg)
         grad_rows, t_all, gc_pre = chunk_math.backward_chunk(
             inst_ref[...],
             g_color,
@@ -192,7 +190,7 @@ def blend_backward_pallas(
     k = cfg.chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=3,
         grid=(cfg.work_cap,),
         in_specs=[
             pl.BlockSpec(
@@ -202,12 +200,12 @@ def blend_backward_pallas(
             ),
             pl.BlockSpec(
                 (1, 4, p),
-                lambda w, sb, so, *_: (so[w], 0, 0),
+                lambda w, sb, sm, *_: (sm[w] >> 2, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 4, p),
-                lambda w, sb, so, *_: (so[w], 0, 0),
+                lambda w, sb, sm, *_: (sm[w] >> 2, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -232,11 +230,8 @@ def blend_backward_pallas(
         ),
     )(
         binned.work_block,
-        binned.work_out,
-        binned.work_first,
-        binned.work_last,
-        binned.work_px0,
-        binned.work_py0,
+        binned.work_meta,
+        binned.work_pxy,
         padded_fields,
         out_fwd,
         g_out,

@@ -112,6 +112,45 @@ def load_colmap_scene(
     )
 
 
+def load_gs_cameras_json(
+    gs_output_path: str,
+    source_dir: Optional[str] = None,
+    max_img_size: int = 1920,
+) -> List[CameraInfo]:
+    """Load a 3DGS-training `cameras.json` (interop with upstream 3DGS
+    outputs; load_gs_cameras, frosting_scene/cameras.py:15-139). Applies
+    the reference's max-size downscale rule."""
+    with open(os.path.join(gs_output_path, "cameras.json")) as f:
+        transforms = sorted(json.load(f), key=lambda c: c["img_name"])
+
+    infos = []
+    for cam in transforms:
+        w, h = int(cam["width"]), int(cam["height"])
+        if max(w, h) > max_img_size:
+            scale = max(w, h) / max_img_size
+            w, h = int(w / scale), int(h / scale)
+        fx, fy = float(cam["fx"]), float(cam["fy"])
+        fov_x = focal_to_fov(fx, cam["width"])
+        fov_y = focal_to_fov(fy, cam["height"])
+        R = np.asarray(cam["rotation"], np.float64)  # cam->world
+        pos = np.asarray(cam["position"], np.float64)
+        t = -R.T @ pos
+        infos.append(
+            CameraInfo(
+                camera=make_camera(R, t, fov_x, fov_y),
+                image_path=(
+                    os.path.join(source_dir, "images", cam["img_name"])
+                    if source_dir
+                    else None
+                ),
+                image_name=cam["img_name"],
+                width=w,
+                height=h,
+            )
+        )
+    return infos
+
+
 def load_blender_scene(
     source_dir: str,
     split: str = "train",
