@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iterations-3dgs", type=int, default=7_000)
     p.add_argument("--capacity", type=int, default=1 << 19)
     p.add_argument("--max-instances", type=int, default=1 << 21)
+    p.add_argument(
+        "--tiny", action="store_true",
+        help="minutes-scale smoke preset (tiny budgets for all stages)",
+    )
     return p
 
 
@@ -77,36 +81,66 @@ def main(argv=None):
     cams = [c.camera for c in scene.train_cameras]
     gt = np.stack([c.image() for c in scene.train_cameras])
     h, w = gt.shape[-2:]
+    max_inst = 8192 if args.tiny else args.max_instances
+    chunk = 32 if args.tiny else 64
     rcfg = RasterConfig(
-        width=w, height=h, chunk=64, max_instances=args.max_instances
+        width=w, height=h, chunk=chunk, max_instances=max_inst
     )
 
     refine_iters = {"short": 2_000, "medium": 7_000, "long": 15_000}[
         args.refinement_time
     ]
-    cfg = pipeline.PipelineConfig(
-        gs=gs_trainer.GSTrainConfig(
-            iterations=args.iterations_3dgs,
-            capacity=args.capacity,
-            white_background=args.white_bg,
-        ),
-        sugar=sugar_trainer.SugarTrainConfig(
-            method=args.regularization,
-            start_iteration=args.iterations_3dgs,
-            spatial_extent=scene.spatial_extent,
-            white_background=args.white_bg,
-        ),
-        shell=ShellConfig(
-            target_vertices=200_000 if args.low_poly else 1_000_000,
-        ),
-        frosting=frosting_lib.FrostingConfig(n_gaussians=args.gaussians),
-        refine=frosting_trainer.FrostingTrainConfig(
-            iterations=refine_iters,
-            lr_max_steps=refine_iters,
-            white_background=args.white_bg,
-        ),
-        use_background_gaussians=(args.regularization == "sdf"),
-    )
+    if args.tiny:
+        cfg = pipeline.PipelineConfig(
+            gs=gs_trainer.GSTrainConfig(
+                iterations=80, capacity=min(args.capacity, 2048),
+                densify_from=10_000, opacity_reset_interval=10_000,
+                sh_increase_interval=30, log_every=40,
+                white_background=args.white_bg,
+            ),
+            sugar=sugar_trainer.SugarTrainConfig(
+                method=args.regularization, start_iteration=81,
+                iterations=160, entropy_from=80, entropy_until=110,
+                sdf_from=110, hard_prune_at=115, hard_prune_threshold=0.1,
+                n_sdf_samples=2048, reset_neighbors_every=40, knn_k=8,
+                spatial_extent=scene.spatial_extent, log_every=40,
+                white_background=args.white_bg,
+            ),
+            shell=ShellConfig(
+                poisson_resolution=64, target_vertices=3000, knn_k=8
+            ),
+            frosting=frosting_lib.FrostingConfig(
+                n_gaussians=4096, knn_k=8
+            ),
+            refine=frosting_trainer.FrostingTrainConfig(
+                iterations=120, lr_max_steps=120, log_every=40,
+                white_background=args.white_bg,
+            ),
+        )
+    else:
+        cfg = pipeline.PipelineConfig(
+            gs=gs_trainer.GSTrainConfig(
+                iterations=args.iterations_3dgs,
+                capacity=args.capacity,
+                white_background=args.white_bg,
+            ),
+            sugar=sugar_trainer.SugarTrainConfig(
+                method=args.regularization,
+                start_iteration=args.iterations_3dgs,
+                spatial_extent=scene.spatial_extent,
+                white_background=args.white_bg,
+            ),
+            shell=ShellConfig(
+                target_vertices=200_000 if args.low_poly else 1_000_000,
+            ),
+            frosting=frosting_lib.FrostingConfig(n_gaussians=args.gaussians),
+            refine=frosting_trainer.FrostingTrainConfig(
+                iterations=refine_iters,
+                lr_max_steps=refine_iters,
+                white_background=args.white_bg,
+            ),
+            use_background_gaussians=(args.regularization == "sdf"),
+        )
 
     out = pipeline.run_pipeline(
         cams, gt, scene.points, scene.colors, scene.spatial_extent, rcfg, cfg
