@@ -163,8 +163,10 @@ def main(argv=None):
         out["frosting_params"], out["frosting_meta"],
         os.path.join(out_dir, "frosting.ply"),
     )
-    checkpoint.save_npz(
-        os.path.join(out_dir, "frosting.npz"), out["frosting_params"]
+    checkpoint.save_frosting(
+        os.path.join(out_dir, "frosting.npz"),
+        out["frosting_params"],
+        out["frosting_meta"],
     )
 
     if args.export_obj:

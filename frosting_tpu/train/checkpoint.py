@@ -47,3 +47,40 @@ def load_npz(path: str, template: Any) -> Any:
         jax.numpy.asarray(z[f"leaf_{i}"]) for i in range(len(leaves))
     ]
     return jax.tree.unflatten(treedef, new_leaves)
+
+
+def save_frosting(path: str, params, meta) -> None:
+    """Self-describing frosting checkpoint (params + topology), loadable
+    without a template — the `.pt` artifact analogue (refine.py:574-581)."""
+    import dataclasses
+
+    arrays = {
+        f.name: np.asarray(getattr(params, f.name))
+        for f in dataclasses.fields(params)
+    }
+    arrays["meta_faces"] = np.asarray(meta.faces)
+    arrays["meta_cell_idx"] = np.asarray(meta.cell_idx)
+    np.savez(path, **arrays)
+
+
+def load_frosting(path: str):
+    """-> (FrostingParams, FrostingMeta) from save_frosting output."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from frosting_tpu.models.frosting import FrostingMeta, FrostingParams
+
+    z = np.load(path)
+    params = FrostingParams(
+        **{
+            f.name: jnp.asarray(z[f.name])
+            for f in dataclasses.fields(FrostingParams)
+        }
+    )
+    meta = FrostingMeta(
+        faces=jnp.asarray(z["meta_faces"]),
+        cell_idx=jnp.asarray(z["meta_cell_idx"]),
+        bg=None,
+    )
+    return params, meta
