@@ -125,3 +125,24 @@ def sh_to_rgb(sh_dc: jnp.ndarray) -> jnp.ndarray:
 def rgb_to_sh(rgb: jnp.ndarray) -> jnp.ndarray:
     """RGB -> DC SH coefficient (reference RGB2SH)."""
     return (rgb - 0.5) / C0
+
+
+def sample_sphere_dirs(n: int) -> jnp.ndarray:
+    """[n, 3] near-uniform unit directions (Fibonacci sphere) — the sphere
+    sampling utility of the reference SH library
+    (frosting_utils/spherical_harmonics.py)."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    golden = np.pi * (1.0 + 5.0**0.5)
+    theta = golden * i
+    d = np.stack(
+        [
+            np.sin(phi) * np.cos(theta),
+            np.sin(phi) * np.sin(theta),
+            np.cos(phi),
+        ],
+        axis=-1,
+    )
+    return jnp.asarray(d, jnp.float32)

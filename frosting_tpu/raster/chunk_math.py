@@ -34,21 +34,54 @@ from frosting_tpu.raster.config import (
 )
 
 
-def _tri_strict(k: int, dtype=jnp.float32) -> jnp.ndarray:
-    """tri[i, j] = 1 if j < i (strict lower)."""
-    r = jnp.arange(k)
-    return (r[:, None] > r[None, :]).astype(dtype)
+def _shift_down(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
+    """Shift rows down by s along axis 0, filling the top with `fill`."""
+    return jnp.concatenate(
+        [jnp.full((s,) + x.shape[1:], fill, x.dtype), x[:-s]], axis=0
+    )
 
 
-def _tri_incl(k: int, dtype=jnp.float32) -> jnp.ndarray:
-    """tri[i, j] = 1 if j <= i (inclusive lower)."""
-    r = jnp.arange(k)
-    return (r[:, None] >= r[None, :]).astype(dtype)
+def cumprod_excl(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive cumulative product along axis 0 via a Hillis-Steele scan
+    (log2(K) shifted multiplies). Linear-space, exactly the sequential
+    product recurrence of renderCUDA — no log/exp round-trip."""
+    k = x.shape[0]
+    y = x
+    s = 1
+    while s < k:
+        y = y * _shift_down(y, s, 1.0)
+        s *= 2
+    return _shift_down(y, 1, 1.0)
+
+
+def tree_prod(x: jnp.ndarray) -> jnp.ndarray:
+    """Product along axis 0 -> (1, P) via halving tree (Mosaic has no
+    reduce_prod lowering)."""
+    k = x.shape[0]
+    while k > 1:
+        half = k // 2
+        x = x[:half] * x[half : 2 * half] if 2 * half == k else (
+            jnp.concatenate([x[:half] * x[half : 2 * half], x[2 * half :]], 0)
+        )
+        k = x.shape[0]
+    return x
+
+
+def cumsum_incl(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative sum along axis 0 (Hillis-Steele)."""
+    k = x.shape[0]
+    y = x
+    s = 1
+    while s < k:
+        y = y + _shift_down(y, s, 0.0)
+        s *= 2
+    return y
 
 
 class ChunkCommon(NamedTuple):
     alpha: jnp.ndarray  # (K, P)
-    logs: jnp.ndarray  # (K, P) log1p(-alpha)
+    raw: jnp.ndarray  # (K, P) opacity * exp(power), pre-clamp
+    one_minus: jnp.ndarray  # (K, P) 1 - alpha
     t_before: jnp.ndarray  # (K, P)
     m: jnp.ndarray  # (K, P) contribution mask (bool)
     w: jnp.ndarray  # (K, P) blend weights
@@ -73,18 +106,14 @@ def _chunk_common(fields, t_all, px, py) -> ChunkCommon:
     raw = op * jnp.exp(power)
     alpha = jnp.minimum(ALPHA_CLAMP, raw)
     alpha = jnp.where((power > 0.0) | (raw < ALPHA_CUTOFF), 0.0, alpha)
-    logs = jnp.log1p(-alpha)
-    k = fields.shape[0]
-    cum_excl = jnp.dot(
-        _tri_strict(k, fields.dtype),
-        logs,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    t_before = t_all * jnp.exp(cum_excl)
-    m = t_before * (1.0 - alpha) >= TRANSMITTANCE_EPS
+    one_minus = 1.0 - alpha
+    # linear-space transmittance scan: exactly the sequential recurrence of
+    # renderCUDA (forward.cu:343-351); log2(K) shifted multiplies, no
+    # log/exp round-trip (transcendentals dominate the kernel otherwise)
+    t_before = t_all * cumprod_excl(one_minus)
+    m = t_before * one_minus >= TRANSMITTANCE_EPS
     w = jnp.where(m, alpha * t_before, 0.0)
-    return ChunkCommon(alpha, logs, t_before, m, w, power, dx, dy)
+    return ChunkCommon(alpha, raw, one_minus, t_before, m, w, power, dx, dy)
 
 
 def forward_chunk(fields, t_all, t_mask, color, px, py):
@@ -96,10 +125,8 @@ def forward_chunk(fields, t_all, t_mask, color, px, py):
     c = _chunk_common(fields, t_all, px, py)
     cols = fields[:, 6:9]  # (K, 3)
     color = color + jax_dot_kp(cols, c.w)
-    t_all = t_all * jnp.exp(jnp.sum(c.logs, axis=0, keepdims=True))
-    t_mask = t_mask * jnp.exp(
-        jnp.sum(jnp.where(c.m, c.logs, 0.0), axis=0, keepdims=True)
-    )
+    t_all = t_all * tree_prod(c.one_minus)
+    t_mask = t_mask * tree_prod(jnp.where(c.m, c.one_minus, 1.0))
     return t_all, t_mask, color
 
 
@@ -130,7 +157,6 @@ def backward_chunk(
     Returns (grad_rows (K,16), t_all', gc_pre').
     """
     c = _chunk_common(fields, t_all, px, py)
-    k = fields.shape[0]
     cols = fields[:, 6:9]
     op = fields[:, 5:6]
 
@@ -142,15 +168,10 @@ def backward_chunk(
         precision=jax.lax.Precision.HIGHEST,
     )
     contrib = u * c.w  # (K, P)
-    cum_incl = jnp.dot(
-        _tri_incl(k, fields.dtype),
-        contrib,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    cum_incl = cumsum_incl(contrib)
     g_suffix = gc_total - (gc_pre + cum_incl)  # (K, P)
 
-    one_minus = 1.0 - c.alpha
+    one_minus = c.one_minus
     inv_om = 1.0 / one_minus
     dalpha = jnp.where(
         c.m,
@@ -158,10 +179,10 @@ def backward_chunk(
         0.0,
     )
 
-    raw = op * jnp.exp(c.power)
-    live = (c.power <= 0.0) & (raw >= ALPHA_CUTOFF)
-    not_clamped = raw < ALPHA_CLAMP
-    g_exp = jnp.exp(c.power)
+    live = (c.power <= 0.0) & (c.raw >= ALPHA_CUTOFF)
+    not_clamped = c.raw < ALPHA_CLAMP
+    op_safe = jnp.where(op == 0.0, 1.0, op)
+    g_exp = c.raw / op_safe  # = exp(power), no second transcendental
     dop_pix = jnp.where(live & not_clamped, dalpha * g_exp, 0.0)
     dpower = jnp.where(live & not_clamped, dalpha * c.alpha, 0.0)
 
@@ -193,6 +214,6 @@ def backward_chunk(
         axis=-1,
     )
 
-    t_all = t_all * jnp.exp(jnp.sum(c.logs, axis=0, keepdims=True))
+    t_all = t_all * tree_prod(c.one_minus)
     gc_pre = gc_pre + jnp.sum(contrib, axis=0, keepdims=True)
     return grad_rows, t_all, gc_pre
