@@ -65,23 +65,31 @@ def _forward_kernel(
             color_ref[...] = jnp.zeros_like(color_ref)
             t_ref[...] = jnp.ones_like(t_ref)
 
-        px, py = _pixel_coords(s_pxy[w], cfg)
-        t_all, t_mask, color = chunk_math.forward_chunk(
-            inst_ref[...],
-            t_ref[0:1],
-            t_ref[1:2],
-            color_ref[...],
-            px,
-            py,
-        )
-        color_ref[...] = color
-        t_ref[0:1] = t_all
-        t_ref[1:2] = t_mask
+        # Chunk-level early stop (the renderCUDA per-pixel `done` break,
+        # forward.cu:305-309): once every pixel's running transmittance is
+        # below the stop threshold, later chunks cannot contribute (the
+        # inclusion test m uses the monotone t_all), so skip their compute.
+        live = jnp.max(t_ref[0:1]) >= chunk_math.TRANSMITTANCE_EPS
+
+        @pl.when((first == 1) | live)
+        def _():
+            px, py = _pixel_coords(s_pxy[w], cfg)
+            t_all, t_mask, color = chunk_math.forward_chunk(
+                inst_ref[...],
+                t_ref[0:1],
+                t_ref[1:2],
+                color_ref[...],
+                px,
+                py,
+            )
+            color_ref[...] = color
+            t_ref[0:1] = t_all
+            t_ref[1:2] = t_mask
 
         @pl.when(last == 1)
         def _():
-            out_ref[0, 0:3] = color
-            out_ref[0, 3:4] = t_mask
+            out_ref[0, 0:3] = color_ref[...]
+            out_ref[0, 3:4] = t_ref[1:2]
 
 
 def blend_forward_pallas(
@@ -149,13 +157,18 @@ def _backward_kernel(
     first = Binned.meta_first(meta)
     is_real = Binned.meta_out(meta) < cfg.n_tiles
 
-    @pl.when(is_real)
+    @pl.when(first == 1)
     def _():
-        @pl.when(first == 1)
-        def _():
-            carry_ref[0:1] = jnp.ones_like(carry_ref[0:1])
-            carry_ref[1:2] = jnp.zeros_like(carry_ref[1:2])
+        carry_ref[0:1] = jnp.ones_like(carry_ref[0:1])
+        carry_ref[1:2] = jnp.zeros_like(carry_ref[1:2])
 
+    live = is_real & (
+        (first == 1)
+        | (jnp.max(carry_ref[0:1]) >= chunk_math.TRANSMITTANCE_EPS)
+    )
+
+    @pl.when(live)
+    def _():
         g_color = g_ref[0, 0:3]
         g_tmask = g_ref[0, 3:4]
         c_total = fwd_ref[0, 0:3]
@@ -177,6 +190,12 @@ def _backward_kernel(
         carry_ref[0:1] = t_all
         carry_ref[1:2] = gc_pre
         grad_ref[...] = grad_rows
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        # stopped/dummy chunks contribute exactly zero gradient; the block
+        # is stored every grid step, so it must be written regardless
+        grad_ref[...] = jnp.zeros_like(grad_ref)
 
 
 def blend_backward_pallas(
