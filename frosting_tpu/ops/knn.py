@@ -50,12 +50,20 @@ def knn(
     k: int = 16,
     window: int = 32,
     n_grids: int = 2,
+    valid=None,  # [N] bool; invalid rows (dead arena slots) are excluded
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-KNN. Returns (idx [N, k], sqdist [N, k]), neighbor 0
-    being the nearest (excluding self)."""
+    being the nearest (excluding self). With `valid`, dead rows neither
+    distort the Morton bounding box (arena slots are parked at 1e6) nor
+    appear as neighbors; their own rows are garbage and must not be read."""
     n = points.shape[0]
-    lo = jnp.min(points, axis=0)
-    hi = jnp.max(points, axis=0)
+    if valid is None:
+        lo = jnp.min(points, axis=0)
+        hi = jnp.max(points, axis=0)
+    else:
+        big = jnp.float32(3e38)
+        lo = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
+        hi = jnp.max(jnp.where(valid[:, None], points, -big), axis=0)
     span = jnp.maximum(hi - lo, 1e-12)
 
     cand_list = []
@@ -63,6 +71,8 @@ def knn(
         # jitter the grid origin to decorrelate cell boundaries
         shift = span * (0.0 if g == 0 else (0.33 * g))
         codes = morton_codes(points, lo - shift, hi)
+        if valid is not None:
+            codes = jnp.where(valid, codes, jnp.uint32(0xFFFFFFFF))
         order = jnp.argsort(codes)
         rank = jnp.argsort(order)  # position of each point in sorted order
         offs = jnp.arange(-window, window + 1)
@@ -76,6 +86,8 @@ def knn(
     # exclude self matches (distance exactly to own index)
     self_mask = cand == jnp.arange(n)[:, None]
     d2 = jnp.where(self_mask, jnp.inf, d2)
+    if valid is not None:
+        d2 = jnp.where(valid[cand], d2, jnp.inf)
     # de-duplicate candidates repeated across grids (top_k would otherwise
     # return the same neighbor twice): inf-mask every repeat after the first.
     order_c = jnp.argsort(cand, axis=1, stable=True)

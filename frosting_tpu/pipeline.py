@@ -74,7 +74,17 @@ def run_pipeline(
 
     if log_fn:
         log_fn("=== stage 3: shell extraction ===")
-    means, scales, quats, opac, _sh = activate(params)
+    # compact away dead arena slots (parked at 1e6) before the host-driven
+    # extraction/init stages: they would wreck the KNN Morton quantization
+    # and misalign SH-transfer indices
+    live = np.asarray(params.mask) > 0.5
+    params_live = type(params)(
+        **{
+            f.name: jnp.asarray(np.asarray(getattr(params, f.name))[live])
+            for f in dataclasses.fields(params)
+        }
+    )
+    means, scales, quats, opac, _sh = activate(params_live)
     verts, faces, shell_aux = extract_shell(
         means, scales, quats, opac, cameras, rcfg, cfg.shell,
         verbose=bool(log_fn),
@@ -86,7 +96,7 @@ def run_pipeline(
         log_fn("=== stage 4: frosting init ===")
     fparams, meta = frosting_lib.init_frosting(
         jax.random.key(seed), verts, faces, means, scales, quats, opac,
-        params, cfg.frosting, spatial_extent,
+        params_live, cfg.frosting, spatial_extent,
         use_background=cfg.use_background_gaussians,
     )
     out["frosting_meta"] = meta

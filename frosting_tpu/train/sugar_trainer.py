@@ -163,9 +163,9 @@ def hard_prune(params: GaussianParams, threshold: float = 0.5):
 
 
 def compute_knn(params: GaussianParams, k: int = 16) -> jnp.ndarray:
-    """KNN over live Gaussian centers (dead slots parked at 1e6 sort to the
-    end of the Morton order and never enter live windows)."""
-    idx, _ = knn_lib.knn(params.means3d, k=k)
+    """KNN over live Gaussian centers; dead arena slots are masked out so
+    they neither distort the Morton bbox nor appear as neighbors."""
+    idx, _ = knn_lib.knn(params.means3d, k=k, valid=params.mask > 0.5)
     return idx
 
 
