@@ -35,6 +35,26 @@ def test_knn_recall():
     np.testing.assert_allclose(np.asarray(d2), d_check, rtol=1e-4, atol=1e-6)
 
 
+def test_knn_ignores_dead_arena_slots():
+    """Dead slots parked at 1e6 must not distort the Morton bbox (recall
+    collapsed to 0.05 before the mask) nor appear as neighbors."""
+    rng = np.random.default_rng(3)
+    live = rng.uniform(-1, 1, (2000, 3)).astype(np.float32)
+    dead = np.full((1000, 3), 1e6, np.float32)
+    pts = np.concatenate([live, dead])
+    valid = np.concatenate([np.ones(2000, bool), np.zeros(1000, bool)])
+    idx, _ = knn_lib.knn(
+        jnp.asarray(pts), k=8, window=48, valid=jnp.asarray(valid)
+    )
+    tree = cKDTree(live)
+    _, ref = tree.query(live, k=9)
+    recall = np.mean(
+        [len(set(a) & set(b)) / 8 for a, b in zip(np.asarray(idx)[:2000], ref[:, 1:])]
+    )
+    assert recall > 0.9, recall
+    assert (np.asarray(idx)[:2000] < 2000).all()
+
+
 def test_density_field_matches_dense():
     rng = np.random.default_rng(1)
     n, m, k = 200, 64, 16
