@@ -36,14 +36,29 @@ def world_to_view(R: np.ndarray, t: np.ndarray) -> np.ndarray:
     return Rt
 
 
-def projection_matrix(znear: float, zfar: float, fov_x: float, fov_y: float) -> np.ndarray:
+def projection_matrix(
+    znear: float,
+    zfar: float,
+    fov_x: float,
+    fov_y: float,
+    pp_x: float = 0.5,
+    pp_y: float = 0.5,
+) -> np.ndarray:
     """OpenGL-style perspective with z in [0,1] (graphics_utils.py:66-87),
-    COLUMN-vector convention."""
+    COLUMN-vector convention.
+
+    pp_x/pp_y: principal point as a FRACTION of image width/height (0.5 =
+    centered). COLMAP cameras with off-center pp must carry the shift or
+    every projection is bias-shifted (reference conversion handles it at
+    frosting_scene/cameras.py:295-310); the off-center terms land in column
+    2 so ndc = x_clip/z picks up the constant offset."""
     tan_x = math.tan(fov_x / 2.0)
     tan_y = math.tan(fov_y / 2.0)
     P = np.zeros((4, 4), dtype=np.float64)
     P[0, 0] = 1.0 / tan_x
     P[1, 1] = 1.0 / tan_y
+    P[0, 2] = 2.0 * pp_x - 1.0
+    P[1, 2] = 2.0 * pp_y - 1.0
     P[3, 2] = 1.0
     P[2, 2] = zfar / (zfar - znear)
     P[2, 3] = -(zfar * znear) / (zfar - znear)
@@ -83,12 +98,15 @@ def make_camera(
     fov_y: float,
     znear: float = 0.01,
     zfar: float = 100.0,
+    pp_x: float = 0.5,
+    pp_y: float = 0.5,
     dtype=jnp.float32,
 ) -> Camera:
     """Build a Camera from COLMAP-style R (cam-to-world rotation, as in the
-    reference's loaders) and translation t (world->cam)."""
+    reference's loaders) and translation t (world->cam). pp_x/pp_y:
+    principal point as a fraction of image size (0.5 = centered)."""
     wv = world_to_view(np.asarray(R, np.float64), np.asarray(t, np.float64))
-    proj = projection_matrix(znear, zfar, fov_x, fov_y)
+    proj = projection_matrix(znear, zfar, fov_x, fov_y, pp_x, pp_y)
     full = proj @ wv  # column-vector composition
     c2w = np.linalg.inv(wv)
     center = c2w[:3, 3]

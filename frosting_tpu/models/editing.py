@@ -219,6 +219,7 @@ def build_composite_scene(
         opacities_raw=cat("opacities_raw"),
         sh_dc=cat("sh_dc"),
         sh_rest=cat("sh_rest"),
+        bg=None,  # composite editing scenes drop background Gaussians
     )
     # face offsets must account for concatenated face arrays
     face_off = np.cumsum([0] + [len(f) for f in faces[:-1]])
@@ -229,7 +230,6 @@ def build_composite_scene(
     meta = frosting_lib.FrostingMeta(
         faces=jnp.asarray(np.concatenate(faces), jnp.int32),
         cell_idx=jnp.asarray(np.concatenate(cells), jnp.int32),
-        bg=None,
     )
     return CompositeScene(
         params=params,

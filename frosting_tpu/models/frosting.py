@@ -32,7 +32,12 @@ from frosting_tpu.scene.gaussians import GaussianParams, inverse_sigmoid
 @dataclasses.dataclass
 class FrostingParams:
     """Optimizable frosting state. Static mesh topology (faces) lives in
-    FrostingMeta, not here."""
+    FrostingMeta, not here.
+
+    `bg` holds the background Gaussians (vanilla Gaussians outside the fg
+    bbox) INSIDE the optimized pytree: the reference trains them with
+    dedicated param groups during refinement (frosting_optimizer.py:85-91),
+    so they must receive gradients, not sit frozen in metadata."""
 
     shell_verts: jnp.ndarray  # [V, 3] base mesh (fixed unless learn_shell)
     inner_dist: jnp.ndarray  # [V] <= 0
@@ -43,12 +48,12 @@ class FrostingParams:
     opacities_raw: jnp.ndarray  # [N]
     sh_dc: jnp.ndarray  # [N, 1, 3]
     sh_rest: jnp.ndarray  # [N, K-1, 3]
+    bg: Optional[GaussianParams] = None
 
 
 class FrostingMeta(NamedTuple):
     faces: jnp.ndarray  # [F, 3] int32
     cell_idx: jnp.ndarray  # [N] int32 cell (face) of each frosting Gaussian
-    bg: Optional[GaussianParams]  # background Gaussians outside the fg bbox
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,8 +118,8 @@ def activate_frosting(
     quats = quat_ops.normalize(p.quats_raw)
     opac = jax.nn.sigmoid(p.opacities_raw)
     sh = jnp.concatenate([p.sh_dc, p.sh_rest], axis=1)
-    if meta.bg is not None:
-        bm, bs, bq, bo, bsh = activate_gs(meta.bg)
+    if p.bg is not None:
+        bm, bs, bq, bo, bsh = activate_gs(p.bg)
         means = jnp.concatenate([means, bm])
         scales = jnp.concatenate([scales, bs])
         quats = jnp.concatenate([quats, bq])
@@ -316,7 +321,8 @@ def init_frosting(
         bg = dataclasses.replace(
             gaussians, mask=bg_mask.astype(jnp.float32)
         )
-    return params, FrostingMeta(faces=faces_j, cell_idx=cell_idx, bg=bg)
+    params = dataclasses.replace(params, bg=bg)
+    return params, FrostingMeta(faces=faces_j, cell_idx=cell_idx)
 
 
 def to_gaussians(p: FrostingParams, meta: FrostingMeta):

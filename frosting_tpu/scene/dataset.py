@@ -80,13 +80,17 @@ def load_colmap_scene(
     centers = []
     for img in sorted(imgs.values(), key=lambda im: im.name):
         cam = cams[img.camera_id]
-        fx, fy, _cx, _cy = cam.focal_and_pp()
+        fx, fy, cx, cy = cam.focal_and_pp()
         w = cam.width // resolution_scale
         h = cam.height // resolution_scale
         fov_x = focal_to_fov(fx, cam.width)
         fov_y = focal_to_fov(fy, cam.height)
         R = img.rotation().T  # store cam->world rotation like the reference
-        cam_pytree = make_camera(R, img.tvec, fov_x, fov_y)
+        # principal point as a size fraction: invariant under downscale
+        cam_pytree = make_camera(
+            R, img.tvec, fov_x, fov_y,
+            pp_x=cx / cam.width, pp_y=cy / cam.height,
+        )
         centers.append(-img.rotation().T @ img.tvec)
         infos.append(
             CameraInfo(

@@ -50,14 +50,19 @@ def load_npz(path: str, template: Any) -> Any:
 
 
 def save_frosting(path: str, params, meta) -> None:
-    """Self-describing frosting checkpoint (params + topology), loadable
-    without a template — the `.pt` artifact analogue (refine.py:574-581)."""
+    """Self-describing frosting checkpoint (params + topology + background
+    Gaussians), loadable without a template — the `.pt` artifact analogue
+    (refine.py:574-581)."""
     import dataclasses
 
     arrays = {
         f.name: np.asarray(getattr(params, f.name))
         for f in dataclasses.fields(params)
+        if f.name != "bg"
     }
+    if params.bg is not None:
+        for f in dataclasses.fields(params.bg):
+            arrays[f"bg_{f.name}"] = np.asarray(getattr(params.bg, f.name))
     arrays["meta_faces"] = np.asarray(meta.faces)
     arrays["meta_cell_idx"] = np.asarray(meta.cell_idx)
     np.savez(path, **arrays)
@@ -70,17 +75,27 @@ def load_frosting(path: str):
     import jax.numpy as jnp
 
     from frosting_tpu.models.frosting import FrostingMeta, FrostingParams
+    from frosting_tpu.scene.gaussians import GaussianParams
 
     z = np.load(path)
+    bg = None
+    if "bg_means3d" in z:
+        bg = GaussianParams(
+            **{
+                f.name: jnp.asarray(z[f"bg_{f.name}"])
+                for f in dataclasses.fields(GaussianParams)
+            }
+        )
     params = FrostingParams(
         **{
             f.name: jnp.asarray(z[f.name])
             for f in dataclasses.fields(FrostingParams)
-        }
+            if f.name != "bg"
+        },
+        bg=bg,
     )
     meta = FrostingMeta(
         faces=jnp.asarray(z["meta_faces"]),
         cell_idx=jnp.asarray(z["meta_cell_idx"]),
-        bg=None,
     )
     return params, meta

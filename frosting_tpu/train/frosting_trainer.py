@@ -83,12 +83,41 @@ def make_frosting_optimizer(
         "opacities_raw": adam(cfg.opacity_lr),
         "scales_log": adam(cfg.scaling_lr),
         "quats_raw": adam(cfg.rotation_lr),
+        # background-Gaussian groups (frosting_optimizer.py:85-91): bg points
+        # follow the expon position schedule x spatial extent, the rest get
+        # the standard 3DGS group LRs
+        "bg_means3d": adam(
+            expon_lr(
+                cfg.position_lr_init * spatial_extent,
+                cfg.position_lr_final * spatial_extent,
+                max_steps=cfg.lr_max_steps,
+            )
+        ),
+        "bg_sh_dc": adam(cfg.feature_lr),
+        "bg_sh_rest": adam(cfg.feature_lr / 20.0),
+        "bg_opacities_raw": adam(cfg.opacity_lr),
+        "bg_scales_log": adam(cfg.scaling_lr),
+        "bg_quats_raw": adam(cfg.rotation_lr),
+        "bg_mask": optax.set_to_zero(),
     }
 
-    def label_fn(params):
-        return FrostingParams(
-            **{f.name: f.name for f in dataclasses.fields(FrostingParams)}
-        )
+    def label_fn(params: FrostingParams):
+        from frosting_tpu.scene.gaussians import GaussianParams
+
+        labels = {
+            f.name: f.name
+            for f in dataclasses.fields(FrostingParams)
+            if f.name != "bg"
+        }
+        bg_labels = None
+        if params.bg is not None:
+            bg_labels = GaussianParams(
+                **{
+                    f.name: f"bg_{f.name}"
+                    for f in dataclasses.fields(GaussianParams)
+                }
+            )
+        return FrostingParams(**labels, bg=bg_labels)
 
     return optax.multi_transform(groups, label_fn)
 
@@ -144,7 +173,7 @@ def precompute_visibility(
     from frosting_tpu.ops import mesh_raster
 
     n_f = params.bary_logits.shape[0]
-    n_bg = 0 if meta.bg is None else meta.bg.capacity
+    n_bg = 0 if params.bg is None else params.bg.capacity
     out = np.ones((len(cameras), n_f + n_bg), np.float32)
     faces_np = np.asarray(meta.faces)
     for i, cam in enumerate(cameras):
@@ -176,7 +205,7 @@ def train(
     gt_dev = jax.device_put(jnp.asarray(gt_images))
 
     n_total = params.bary_logits.shape[0] + (
-        0 if meta.bg is None else meta.bg.capacity
+        0 if params.bg is None else params.bg.capacity
     )
     ones_mask = jnp.ones((n_total,), jnp.float32)
     vis = None

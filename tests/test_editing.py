@@ -35,7 +35,6 @@ def _make_frosting(seed=0, n=2000):
         cell_idx=jnp.asarray(
             rng.integers(0, len(f), n), jnp.int32
         ),
-        bg=None,
     )
     return params, meta
 

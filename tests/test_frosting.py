@@ -73,3 +73,58 @@ def test_frosting_refine_quality():
     vis = frosting_trainer.precompute_visibility(fparams2, meta, cams[:2], rcfg)
     assert vis.shape[1] == 6000
     assert 0.1 < vis.mean() < 1.0  # some faces culled per view
+
+
+def test_background_gaussians_train():
+    """With use_background=True, background Gaussians must RECEIVE updates
+    during refinement (reference trains them with dedicated param groups,
+    frosting_optimizer.py:85-91) while their mask stays fixed."""
+    import dataclasses
+
+    from frosting_tpu.scene.gaussians import create_from_pcd
+
+    rcfg = RasterConfig(
+        width=64, height=64, chunk=32, max_instances=8192, backend="jax"
+    )
+    gt = _sphere_scene(n=400)
+    cams = synthetic.camera_ring(n_cams=4, radius=3.2)
+    gt_imgs = synthetic.render_gt_images(gt, cams, rcfg, jnp.zeros((3,)))
+
+    # source 3DGS arena: surface points + far "background" points outside
+    # the shell bbox
+    rng = np.random.default_rng(1)
+    pts = np.concatenate(
+        [np.asarray(gt[0]), rng.uniform(2.0, 4.0, (100, 3)).astype(np.float32)]
+    )
+    cols = rng.uniform(0.2, 0.8, (len(pts), 3))
+    gaussians = create_from_pcd(pts, cols, capacity=len(pts))
+
+    verts, faces, _aux = extract_shell(
+        gt[0], gt[1], gt[2], gt[3], cams, rcfg,
+        ShellConfig(poisson_resolution=64, target_vertices=1500, knn_k=8),
+    )
+    fcfg = frosting_lib.FrostingConfig(n_gaussians=2000, knn_k=8)
+    fparams, meta = frosting_lib.init_frosting(
+        jax.random.key(0), verts, faces, gt[0], gt[1], gt[2], gt[3],
+        gaussians, fcfg, 3.5, use_background=True,
+    )
+    assert fparams.bg is not None
+    assert float(fparams.bg.mask.sum()) >= 100  # outside points marked bg
+
+    tcfg = frosting_trainer.FrostingTrainConfig(iterations=3, lr_max_steps=3)
+    tx = frosting_trainer.make_frosting_optimizer(tcfg, 3.5)
+    opt_state = tx.init(fparams)
+    p2, _, aux = frosting_trainer.frosting_train_step(
+        fparams, opt_state, meta, cams[0], gt_imgs[0],
+        jnp.ones(
+            (fparams.bary_logits.shape[0] + fparams.bg.capacity,), jnp.float32
+        ),
+        tx, rcfg, tcfg, 3,
+    )
+    assert np.isfinite(float(aux["loss"]))
+    # bg params moved; mask untouched
+    assert float(jnp.abs(p2.bg.sh_dc - fparams.bg.sh_dc).max()) > 0
+    assert float(jnp.abs(p2.bg.means3d - fparams.bg.means3d).max()) > 0
+    np.testing.assert_array_equal(
+        np.asarray(p2.bg.mask), np.asarray(fparams.bg.mask)
+    )

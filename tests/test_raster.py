@@ -120,3 +120,23 @@ def test_means2d_probe_gradients():
     g = np.asarray(jax.grad(loss)(probe))
     assert np.isfinite(g).all()
     assert (np.abs(g).sum(axis=1) > 0).any()
+
+
+def test_principal_point_shift():
+    """Off-center principal point must shift projections by exactly the
+    pixel delta (reference carries cx/cy through conversions,
+    frosting_scene/cameras.py:295-310; previously parsed-then-dropped)."""
+    from frosting_tpu.cameras import look_at_camera
+
+    gs = make_scene(n=50)
+    centered = look_at_camera(eye=[0.0, 0.0, -2.8], target=[0, 0, 0])
+    shifted = look_at_camera(
+        eye=[0.0, 0.0, -2.8], target=[0, 0, 0], pp_x=0.6, pp_y=0.45
+    )
+    p0 = preprocess(*gs, centered, CFG)
+    p1 = preprocess(*gs, shifted, CFG)
+    # pp moves by (0.1*W, -0.05*H) pixels, uniformly for all gaussians
+    dx = np.asarray(p1.means2d[:, 0] - p0.means2d[:, 0])
+    dy = np.asarray(p1.means2d[:, 1] - p0.means2d[:, 1])
+    np.testing.assert_allclose(dx, 0.1 * CFG.width, atol=1e-3)
+    np.testing.assert_allclose(dy, -0.05 * CFG.height, atol=1e-3)
