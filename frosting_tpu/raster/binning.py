@@ -38,6 +38,8 @@ class Binned(NamedTuple):
     work_block: jnp.ndarray  # [work_cap] block index into padded instances
     work_meta: jnp.ndarray  # [work_cap] packed (out_row, first, last)
     work_pxy: jnp.ndarray  # [work_cap] packed (px0, py0)
+    tile_block0: jnp.ndarray  # [n_tiles] first block index of each tile
+    tile_nchunks: jnp.ndarray  # [n_tiles] chunk count of each tile (>= 1)
     n_work: jnp.ndarray  # [] number of real work items
     num_instances: jnp.ndarray  # [] pre-clamp instance count
     overflow: jnp.ndarray  # [] bool, true if max_instances exceeded
@@ -185,6 +187,8 @@ def bin_gaussians(
         work_block=work_block,
         work_meta=(work_out * 4 + work_first * 2 + work_last).astype(i32),
         work_pxy=((work_px0 << 16) | work_py0).astype(i32),
+        tile_block0=(padded_off // k).astype(i32),
+        tile_nchunks=n_chunks.astype(i32),
         n_work=n_work,
         num_instances=total,
         overflow=overflow,

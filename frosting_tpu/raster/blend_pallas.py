@@ -1,16 +1,22 @@
 """Pallas TPU kernels for the chunked alpha blend (forward + backward).
 
-One grid step = one (tile, chunk) work item from the flat work-list built by
-binning.py. Chunks of the same tile are consecutive, so the carried
-transmittance/color state lives in VMEM scratch across grid steps and the
-output tile block stays resident until its last chunk writes it. The actual
-compositing math is shared with the pure-JAX path (chunk_math.py) — the
-kernel only adds the memory choreography. Per-instance backward gradients go
-to disjoint (chunk, 16) rows of the grads output, replacing the CUDA
-atomicAdd scatter (backward.cu:523-554) with a segment-sum outside.
+One grid program = ONE TILE (the renderCUDA thread-block analogue,
+forward.cu:261-374). Each program walks its tile's chunk run with an
+in-kernel while_loop: instance blocks are double-buffered from HBM by
+manual async DMA, and per-pixel early termination becomes a chunk-level
+loop exit that skips both the compute AND the remaining DMAs once every
+pixel's transmittance is saturated.
 
-Work-list metadata arrives as THREE bit-packed scalar-prefetch arrays
-(binning.Binned docstring) to respect the ~1 MB SMEM budget.
+This replaces the previous flat work-list grid (one grid step per chunk),
+which paid the grid-step pipeline overhead for every chunk of the static
+work capacity — including the ~60-75% dummy steps whenever
+num_instances << max_instances — and could not skip the block fetch of
+early-terminated chunks.
+
+The compositing math is shared with the pure-JAX path (chunk_math.py).
+Per-instance backward gradients go to disjoint (chunk, 16) row blocks of
+the grads output (DMA'd over a pre-zeroed aliased buffer), replacing the
+CUDA atomicAdd scatter (backward.cu:523-554) with a segment-sum outside.
 """
 
 from __future__ import annotations
@@ -27,10 +33,11 @@ from frosting_tpu.raster.binning import Binned
 from frosting_tpu.raster.config import INSTANCE_WIDTH, RasterConfig
 
 
-def _pixel_coords(pxy, cfg: RasterConfig):
+def _tile_pixel_coords(t, cfg: RasterConfig):
+    """(1, P) pixel-center coordinates of tile `t` (traced scalar)."""
     p = cfg.tile_pixels
-    px0 = Binned.pxy_px0(pxy)
-    py0 = Binned.pxy_py0(pxy)
+    px0 = jax.lax.rem(t, cfg.tiles_x) * cfg.tile_w
+    py0 = jax.lax.div(t, cfg.tiles_x) * cfg.tile_h
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
     px = (px0 + lane % cfg.tile_w).astype(jnp.float32)
     py = (py0 + lane // cfg.tile_w).astype(jnp.float32)
@@ -39,57 +46,82 @@ def _pixel_coords(pxy, cfg: RasterConfig):
 
 def _forward_kernel(
     # scalar prefetch
-    s_block,
-    s_meta,
-    s_pxy,
+    s_block0,  # [n_tiles] first block index
+    s_nchunk,  # [n_tiles] chunk count
     # inputs
-    inst_ref,  # (K, 16) VMEM
+    inst_hbm,  # [n_blocks, 16, K] stays in HBM; manually DMA'd per block.
+    #            Transposed layout: full (16, K) blocks are (8,128)-tile
+    #            aligned, which Mosaic requires for manual DMA slices (a
+    #            (K, 16)-row slice is not).
     # outputs
-    out_ref,  # (1, 4, P) VMEM
+    out_ref,  # (1, 4, P) VMEM block of this tile
     # scratch
-    color_ref,  # (3, P)
-    t_ref,  # (2, P): row 0 t_all, row 1 t_mask
+    buf_ref,  # (2, 16, K) double-buffered instance chunks
+    sem_ref,  # (2,) DMA semaphores
     *,
     cfg: RasterConfig,
 ):
-    w = pl.program_id(0)
-    meta = s_meta[w]
-    first = Binned.meta_first(meta)
-    last = Binned.meta_last(meta)
-    is_real = Binned.meta_out(meta) < cfg.n_tiles
+    t = pl.program_id(0)
+    block0 = s_block0[t]
+    n = s_nchunk[t]
+    p = cfg.tile_pixels
+    px, py = _tile_pixel_coords(t, cfg)
 
-    @pl.when(is_real)
+    def dma(slot, j):
+        return pltpu.make_async_copy(
+            inst_hbm.at[block0 + j],
+            buf_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    dma(0, 0).start()
+
+    def cond(c):
+        j, t_all, t_mask, color = c
+        # chunk-level early stop (renderCUDA per-pixel `done` break,
+        # forward.cu:305-309): t_all is monotone, so once every pixel is
+        # below the stop threshold later chunks cannot contribute
+        return (j < n) & (jnp.max(t_all) >= chunk_math.TRANSMITTANCE_EPS)
+
+    def body(c):
+        j, t_all, t_mask, color = c
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n)
+        def _():
+            dma(1 - slot, j + 1).start()
+
+        dma(slot, j).wait()
+        t_all, t_mask, color = chunk_math.forward_chunk(
+            buf_ref[slot].T, t_all, t_mask, color, px, py
+        )
+        return j + 1, t_all, t_mask, color
+
+    j, t_all, t_mask, color = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.int32(0),
+            jnp.ones((1, p), jnp.float32),
+            jnp.ones((1, p), jnp.float32),
+            jnp.zeros((3, p), jnp.float32),
+        ),
+    )
+
+    # drain the in-flight prefetch if the loop exited early
+    @pl.when(j < n)
     def _():
-        @pl.when(first == 1)
-        def _():
-            color_ref[...] = jnp.zeros_like(color_ref)
-            t_ref[...] = jnp.ones_like(t_ref)
+        dma(jax.lax.rem(j, 2), j).wait()
 
-        # Chunk-level early stop (the renderCUDA per-pixel `done` break,
-        # forward.cu:305-309): once every pixel's running transmittance is
-        # below the stop threshold, later chunks cannot contribute (the
-        # inclusion test m uses the monotone t_all), so skip their compute.
-        live = jnp.max(t_ref[0:1]) >= chunk_math.TRANSMITTANCE_EPS
+    out_ref[0, 0:3] = color
+    out_ref[0, 3:4] = t_mask
 
-        @pl.when((first == 1) | live)
-        def _():
-            px, py = _pixel_coords(s_pxy[w], cfg)
-            t_all, t_mask, color = chunk_math.forward_chunk(
-                inst_ref[...],
-                t_ref[0:1],
-                t_ref[1:2],
-                color_ref[...],
-                px,
-                py,
-            )
-            color_ref[...] = color
-            t_ref[0:1] = t_all
-            t_ref[1:2] = t_mask
 
-        @pl.when(last == 1)
-        def _():
-            out_ref[0, 0:3] = color_ref[...]
-            out_ref[0, 3:4] = t_ref[1:2]
+def to_block_layout(padded_fields: jnp.ndarray, cfg: RasterConfig):
+    """[padded_rows, 16] -> [n_blocks, 16, K] (the DMA-aligned layout)."""
+    return padded_fields.reshape(
+        cfg.n_blocks, cfg.chunk, INSTANCE_WIDTH
+    ).swapaxes(1, 2)
 
 
 def blend_forward_pallas(
@@ -97,161 +129,195 @@ def blend_forward_pallas(
     binned: Binned,
     cfg: RasterConfig,
 ) -> jnp.ndarray:
+    """Returns out [n_tiles, 4, P]: rows 0..2 color, row 3 t_mask."""
     p = cfg.tile_pixels
     k = cfg.chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(cfg.work_cap,),
+        num_scalar_prefetch=2,
+        grid=(cfg.n_tiles,),
         in_specs=[
-            pl.BlockSpec(
-                (k, INSTANCE_WIDTH),
-                lambda w, sb, *_: (sb[w], 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, 4, p),
-            lambda w, sb, sm, *_: (sm[w] >> 2, 0, 0),
+            lambda t, *_: (t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, p), jnp.float32),
-            pltpu.VMEM((2, p), jnp.float32),
+            pltpu.VMEM((2, INSTANCE_WIDTH, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         functools.partial(_forward_kernel, cfg=cfg),
-        out_shape=jax.ShapeDtypeStruct((cfg.n_tiles + 1, 4, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cfg.n_tiles, 4, p), jnp.float32),
         grid_spec=grid_spec,
         interpret=cfg.pallas_interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )(
-        binned.work_block,
-        binned.work_meta,
-        binned.work_pxy,
-        padded_fields,
+        binned.tile_block0,
+        binned.tile_nchunks,
+        to_block_layout(padded_fields, cfg),
     )
 
 
 def _backward_kernel(
     # scalar prefetch
-    s_block,
-    s_meta,
-    s_pxy,
+    s_block0,
+    s_nchunk,
     # inputs
-    inst_ref,  # (K, 16)
+    inst_hbm,  # [n_blocks, 16, K] ANY
+    zeros_hbm,  # [n_blocks, 16, K] ANY, aliased to grads output
     fwd_ref,  # (1, 4, P) forward output of this tile
     g_ref,  # (1, 4, P) cotangent of this tile
     # outputs
-    grad_ref,  # (K, 16)
+    grad_hbm,  # [n_blocks, 16, K] ANY (pre-zeroed via aliasing)
     # scratch
-    carry_ref,  # (2, P): row 0 t_all, row 1 gc_pre
+    buf_ref,  # (2, 16, K) instance chunks in
+    gbuf_ref,  # (2, 16, K) gradient rows out
+    isem_ref,  # (2,) in-DMA semaphores
+    osem_ref,  # (2,) out-DMA semaphores
     *,
     cfg: RasterConfig,
 ):
-    w = pl.program_id(0)
-    meta = s_meta[w]
-    first = Binned.meta_first(meta)
-    is_real = Binned.meta_out(meta) < cfg.n_tiles
+    t = pl.program_id(0)
+    block0 = s_block0[t]
+    n = s_nchunk[t]
+    p = cfg.tile_pixels
+    px, py = _tile_pixel_coords(t, cfg)
 
-    @pl.when(first == 1)
-    def _():
-        carry_ref[0:1] = jnp.ones_like(carry_ref[0:1])
-        carry_ref[1:2] = jnp.zeros_like(carry_ref[1:2])
+    g_color = g_ref[0, 0:3]
+    g_tmask = g_ref[0, 3:4]
+    c_total = fwd_ref[0, 0:3]
+    t_final_mask = fwd_ref[0, 3:4]
+    gc_total = jnp.sum(g_color * c_total, axis=0, keepdims=True)
 
-    live = is_real & (
-        (first == 1)
-        | (jnp.max(carry_ref[0:1]) >= chunk_math.TRANSMITTANCE_EPS)
+    def in_dma(slot, j):
+        return pltpu.make_async_copy(
+            inst_hbm.at[block0 + j],
+            buf_ref.at[slot],
+            isem_ref.at[slot],
+        )
+
+    def out_dma(slot, j):
+        return pltpu.make_async_copy(
+            gbuf_ref.at[slot],
+            grad_hbm.at[block0 + j],
+            osem_ref.at[slot],
+        )
+
+    in_dma(0, 0).start()
+
+    def cond(c):
+        j, t_all, gc_pre = c
+        return (j < n) & (jnp.max(t_all) >= chunk_math.TRANSMITTANCE_EPS)
+
+    def body(c):
+        j, t_all, gc_pre = c
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n)
+        def _():
+            in_dma(1 - slot, j + 1).start()
+
+        in_dma(slot, j).wait()
+
+        # the out-DMA that used this gbuf slot two chunks ago must land
+        # before the slot is overwritten
+        @pl.when(j >= 2)
+        def _():
+            out_dma(slot, j - 2).wait()
+
+        grad_rows, t_all, gc_pre = chunk_math.backward_chunk(
+            buf_ref[slot].T, g_color, g_tmask, gc_total, t_final_mask,
+            t_all, gc_pre, px, py,
+        )
+        gbuf_ref[slot] = grad_rows.T
+        out_dma(slot, j).start()
+        return j + 1, t_all, gc_pre
+
+    j, _t_all, _gc = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.int32(0),
+            jnp.ones((1, p), jnp.float32),
+            jnp.zeros((1, p), jnp.float32),
+        ),
     )
 
-    @pl.when(live)
+    # drain: the prefetched in-DMA on early exit, and the last (up to) two
+    # out-DMAs still in flight
+    @pl.when(j < n)
     def _():
-        g_color = g_ref[0, 0:3]
-        g_tmask = g_ref[0, 3:4]
-        c_total = fwd_ref[0, 0:3]
-        t_final_mask = fwd_ref[0, 3:4]
-        gc_total = jnp.sum(g_color * c_total, axis=0, keepdims=True)
+        in_dma(jax.lax.rem(j, 2), j).wait()
 
-        px, py = _pixel_coords(s_pxy[w], cfg)
-        grad_rows, t_all, gc_pre = chunk_math.backward_chunk(
-            inst_ref[...],
-            g_color,
-            g_tmask,
-            gc_total,
-            t_final_mask,
-            carry_ref[0:1],
-            carry_ref[1:2],
-            px,
-            py,
-        )
-        carry_ref[0:1] = t_all
-        carry_ref[1:2] = gc_pre
-        grad_ref[...] = grad_rows
-
-    @pl.when(jnp.logical_not(live))
+    @pl.when(j >= 2)
     def _():
-        # stopped/dummy chunks contribute exactly zero gradient; the block
-        # is stored every grid step, so it must be written regardless
-        grad_ref[...] = jnp.zeros_like(grad_ref)
+        out_dma(jax.lax.rem(j, 2), j - 2).wait()
+
+    @pl.when(j >= 1)
+    def _():
+        out_dma(jax.lax.rem(j - 1, 2), j - 1).wait()
 
 
 def blend_backward_pallas(
     padded_fields: jnp.ndarray,
     binned: Binned,
-    out_fwd: jnp.ndarray,  # [n_tiles+1, 4, P]
-    g_out: jnp.ndarray,  # [n_tiles+1, 4, P]
+    out_fwd: jnp.ndarray,  # [n_tiles, 4, P]
+    g_out: jnp.ndarray,  # [n_tiles, 4, P]
     cfg: RasterConfig,
 ) -> jnp.ndarray:
+    """Returns per-instance gradient rows [padded_rows, 16]. Rows of chunks
+    skipped by early termination are zero (they contributed nothing)."""
     p = cfg.tile_pixels
     k = cfg.chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(cfg.work_cap,),
+        num_scalar_prefetch=2,
+        grid=(cfg.n_tiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (k, INSTANCE_WIDTH),
-                lambda w, sb, *_: (sb[w], 0),
-                memory_space=pltpu.VMEM,
+                (1, 4, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 4, p),
-                lambda w, sb, sm, *_: (sm[w] >> 2, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 4, p),
-                lambda w, sb, sm, *_: (sm[w] >> 2, 0, 0),
-                memory_space=pltpu.VMEM,
+                (1, 4, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (k, INSTANCE_WIDTH),
-            lambda w, sb, *_: (sb[w], 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, p), jnp.float32),
+            pltpu.VMEM((2, INSTANCE_WIDTH, k), jnp.float32),
+            pltpu.VMEM((2, INSTANCE_WIDTH, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    zeros = jnp.zeros((cfg.n_blocks, INSTANCE_WIDTH, k), jnp.float32)
+    grads3 = pl.pallas_call(
         functools.partial(_backward_kernel, cfg=cfg),
         out_shape=jax.ShapeDtypeStruct(
-            (cfg.padded_rows, INSTANCE_WIDTH), jnp.float32
+            (cfg.n_blocks, INSTANCE_WIDTH, k), jnp.float32
         ),
         grid_spec=grid_spec,
         interpret=cfg.pallas_interpret,
+        # alias the pre-zeroed buffer to the grads output so skipped chunks
+        # read back as exact zero. Index 3 = zeros_hbm counting the 2
+        # scalar-prefetch operands first.
+        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )(
-        binned.work_block,
-        binned.work_meta,
-        binned.work_pxy,
-        padded_fields,
+        binned.tile_block0,
+        binned.tile_nchunks,
+        to_block_layout(padded_fields, cfg),
+        zeros,
         out_fwd,
         g_out,
     )
+    return grads3.swapaxes(1, 2).reshape(cfg.padded_rows, INSTANCE_WIDTH)

@@ -26,6 +26,7 @@ from frosting_tpu.models.frosting import (
     FrostingMeta,
     FrostingParams,
     activate_frosting,
+    activate_frosting_subset,
 )
 from frosting_tpu.ops.ssim import l1_loss, psnr, ssim
 from frosting_tpu.raster import RasterConfig, render
@@ -122,6 +123,24 @@ def make_frosting_optimizer(
     return optax.multi_transform(groups, label_fn)
 
 
+def _step_from_loss(loss_fn, params, opt_state, tx):
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    aux["loss"] = loss
+    return params, opt_state, aux
+
+
+def _photometric(out, gt_image, cfg: FrostingTrainConfig):
+    loss = (1.0 - cfg.lambda_dssim) * l1_loss(out.image, gt_image) + (
+        cfg.lambda_dssim
+    ) * (1.0 - ssim(out.image, gt_image))
+    return loss, {
+        "psnr": psnr(jnp.clip(out.image, 0, 1), gt_image),
+        "overflow": out.overflow,
+    }
+
+
 @functools.partial(
     jax.jit, static_argnames=("tx", "rcfg", "cfg", "active_sh_degree")
 )
@@ -131,7 +150,7 @@ def frosting_train_step(
     meta: FrostingMeta,
     camera: Camera,
     gt_image: jnp.ndarray,
-    gauss_mask: jnp.ndarray,  # [N_total] 1 = render (occlusion culling)
+    gauss_mask: jnp.ndarray,  # [N_total] 1 = render
     tx,
     rcfg: RasterConfig,
     cfg: FrostingTrainConfig,
@@ -146,19 +165,44 @@ def frosting_train_step(
             means, scales, quats, opac, sh, camera, rcfg, bg=bg,
             active_sh_degree=active_sh_degree,
         )
-        loss = (1.0 - cfg.lambda_dssim) * l1_loss(out.image, gt_image) + (
-            cfg.lambda_dssim
-        ) * (1.0 - ssim(out.image, gt_image))
-        return loss, {
-            "psnr": psnr(jnp.clip(out.image, 0, 1), gt_image),
-            "overflow": out.overflow,
-        }
+        return _photometric(out, gt_image, cfg)
 
-    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-    updates, opt_state = tx.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
-    aux["loss"] = loss
-    return params, opt_state, aux
+    return _step_from_loss(loss_fn, params, opt_state, tx)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tx", "rcfg", "cfg", "active_sh_degree")
+)
+def frosting_train_step_culled(
+    params: FrostingParams,
+    opt_state,
+    meta: FrostingMeta,
+    camera: Camera,
+    gt_image: jnp.ndarray,
+    vis_idx: jnp.ndarray,  # [C] int32 compacted visible indices
+    vis_valid: jnp.ndarray,  # [C] float32 padding mask
+    tx,
+    rcfg: RasterConfig,
+    cfg: FrostingTrainConfig,
+    active_sh_degree: int,
+):
+    """Occlusion-culled step: renders only the compacted visible subset, so
+    preprocess/binning/blend cost scales with the visible count, matching
+    the reference's 'decreases optimization time and memory' claim
+    (refine.py:487-492, README.md:204)."""
+    bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
+
+    def loss_fn(p):
+        means, scales, quats, opac, sh = activate_frosting_subset(
+            p, meta, vis_idx, vis_valid
+        )
+        out = render(
+            means, scales, quats, opac, sh, camera, rcfg, bg=bg,
+            active_sh_degree=active_sh_degree,
+        )
+        return _photometric(out, gt_image, cfg)
+
+    return _step_from_loss(loss_fn, params, opt_state, tx)
 
 
 def precompute_visibility(
@@ -187,6 +231,29 @@ def precompute_visibility(
     return out
 
 
+def compact_visibility(
+    vis: np.ndarray, n_frosting: int, pad_multiple: int = 256
+) -> tuple:
+    """[n_cams, N_total] 0/1 masks -> compacted frosting-Gaussian index
+    buffers. Returns (idx [n_cams, C] int32, valid [n_cams, C] float32):
+    a bounded capacity C (max visible count over cameras, padded up) so a
+    single culled-step executable serves every camera. Background columns
+    (>= n_frosting) are ignored — bg Gaussians are always rendered, as in
+    the reference (frosting_model.py:1524-1596 culls only cell faces)."""
+    fvis = vis[:, :n_frosting] > 0.5
+    counts = fvis.sum(axis=1)
+    c = int(counts.max()) if len(counts) else 1
+    c = max(pad_multiple, -(-c // pad_multiple) * pad_multiple)
+    n_cams = vis.shape[0]
+    idx = np.zeros((n_cams, c), np.int32)
+    valid = np.zeros((n_cams, c), np.float32)
+    for i in range(n_cams):
+        (w,) = np.nonzero(fvis[i])
+        idx[i, : len(w)] = w
+        valid[i, : len(w)] = 1.0
+    return idx, valid
+
+
 def train(
     params: FrostingParams,
     meta: FrostingMeta,
@@ -204,13 +271,15 @@ def train(
     rng = np.random.default_rng(seed)
     gt_dev = jax.device_put(jnp.asarray(gt_images))
 
-    n_total = params.bary_logits.shape[0] + (
-        0 if params.bg is None else params.bg.capacity
-    )
+    n_frosting = params.bary_logits.shape[0]
+    n_total = n_frosting + (0 if params.bg is None else params.bg.capacity)
     ones_mask = jnp.ones((n_total,), jnp.float32)
-    vis = None
+    vis_idx = vis_valid = None
     if cfg.use_occlusion_culling:
         vis = precompute_visibility(params, meta, cameras, rcfg)
+        vis_idx, vis_valid = compact_visibility(vis, n_frosting)
+        vis_idx = jax.device_put(jnp.asarray(vis_idx))
+        vis_valid = jax.device_put(jnp.asarray(vis_valid))
 
     history: List[Dict] = []
     order = rng.permutation(len(cameras))
@@ -222,14 +291,16 @@ def train(
             pos = 0
         ci = int(order[pos])
         pos += 1
-        if vis is not None and it % cfg.cull_every == 0:
-            mask = jnp.asarray(vis[ci])
+        if vis_idx is not None and it % cfg.cull_every == 0:
+            params, opt_state, aux = frosting_train_step_culled(
+                params, opt_state, meta, cameras[ci], gt_dev[ci],
+                vis_idx[ci], vis_valid[ci], tx, rcfg, cfg, cfg.sh_degree,
+            )
         else:
-            mask = ones_mask
-        params, opt_state, aux = frosting_train_step(
-            params, opt_state, meta, cameras[ci], gt_dev[ci], mask,
-            tx, rcfg, cfg, cfg.sh_degree,
-        )
+            params, opt_state, aux = frosting_train_step(
+                params, opt_state, meta, cameras[ci], gt_dev[ci], ones_mask,
+                tx, rcfg, cfg, cfg.sh_degree,
+            )
         if (it - start_iteration) % cfg.log_every == 0 or it == (
             start_iteration + cfg.iterations
         ):

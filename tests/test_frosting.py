@@ -128,3 +128,61 @@ def test_background_gaussians_train():
     np.testing.assert_array_equal(
         np.asarray(p2.bg.mask), np.asarray(fparams.bg.mask)
     )
+
+
+def test_occlusion_culling_compacts_compute():
+    """The culled step must (a) run on a COMPACTED subset (fewer rasterizer
+    instances => preprocess/bin/blend cost actually shrinks, refine.py:
+    487-492), and (b) match the full step with an opacity mask."""
+    import dataclasses as dc
+
+    from frosting_tpu.raster import render as raster_render
+
+    rcfg = RasterConfig(
+        width=64, height=64, chunk=32, max_instances=8192, backend="jax"
+    )
+    gt = _sphere_scene(n=400)
+    cams = synthetic.camera_ring(n_cams=3, radius=3.2)
+    gt_imgs = synthetic.render_gt_images(gt, cams, rcfg, jnp.zeros((3,)))
+
+    verts, faces, _aux = extract_shell(
+        gt[0], gt[1], gt[2], gt[3], cams, rcfg,
+        ShellConfig(poisson_resolution=64, target_vertices=1500, knn_k=8),
+    )
+    fcfg = frosting_lib.FrostingConfig(n_gaussians=3000, knn_k=8)
+    fparams, meta = frosting_lib.init_frosting(
+        jax.random.key(0), verts, faces, gt[0], gt[1], gt[2], gt[3],
+        None, fcfg, 3.5,
+    )
+
+    vis = frosting_trainer.precompute_visibility(fparams, meta, cams, rcfg)
+    vis_idx, vis_valid = frosting_trainer.compact_visibility(vis, 3000)
+    assert vis_idx.shape[1] < 3000  # bounded buffer is actually smaller
+
+    # instance count with the compacted subset < full set
+    full = frosting_lib.activate_frosting(fparams, meta)
+    sub = frosting_lib.activate_frosting_subset(
+        fparams, meta, jnp.asarray(vis_idx[0]), jnp.asarray(vis_valid[0])
+    )
+    out_full = raster_render(*full, cams[0], rcfg)
+    out_sub = raster_render(*sub, cams[0], rcfg)
+    assert int(out_sub.num_instances) < int(out_full.num_instances)
+
+    # one culled step ~ one masked full step
+    tcfg = frosting_trainer.FrostingTrainConfig(iterations=1, lr_max_steps=1)
+    tx = frosting_trainer.make_frosting_optimizer(tcfg, 3.5)
+    opt_state = tx.init(fparams)
+    p_mask, _, aux_m = frosting_trainer.frosting_train_step(
+        fparams, opt_state, meta, cams[0], gt_imgs[0],
+        jnp.asarray(vis[0]), tx, rcfg, tcfg, 3,
+    )
+    p_cull, _, aux_c = frosting_trainer.frosting_train_step_culled(
+        fparams, opt_state, meta, cams[0], gt_imgs[0],
+        jnp.asarray(vis_idx[0]), jnp.asarray(vis_valid[0]),
+        tx, rcfg, tcfg, 3,
+    )
+    assert abs(float(aux_m["loss"]) - float(aux_c["loss"])) < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(p_cull.bary_logits), np.asarray(p_mask.bary_logits),
+        atol=5e-4,
+    )
