@@ -31,6 +31,16 @@ def build_parser():
     p.add_argument("--height", type=int, default=0)
     p.add_argument("--frames", type=int, nargs=2, default=None)
     p.add_argument("--deformation-threshold", type=float, default=2.0)
+    # reference flags: --adaptation {simple,complex}, thickness rescaling
+    # method {median,triangle,none} (render_blender_scene.py:17-156)
+    p.add_argument(
+        "--adaptation", choices=["simple", "complex"], default="complex"
+    )
+    p.add_argument(
+        "--thickness-rescale",
+        choices=["median", "triangle", "none"],
+        default="median",
+    )
     p.add_argument("--max-instances", type=int, default=1 << 21)
     return p
 
@@ -99,10 +109,19 @@ def main(argv=None):
             )
             s, e = scene.vert_ranges[i_mesh]
             verts = verts.at[s:e].set(posed)
-        eg = editing.adapt_frosting(
-            scene.params, scene.meta, verts,
-            deformation_threshold=args.deformation_threshold,
-        )
+        if args.adaptation == "simple":
+            eg = editing.adapt_frosting_simple(
+                scene.params, scene.meta, verts,
+                thickness_rescale=args.thickness_rescale,
+            )
+        else:
+            # deformation-threshold opacity masking applies only to the
+            # complex adaptation (blender/frosting_utils.py:532)
+            eg = editing.adapt_frosting(
+                scene.params, scene.meta, verts,
+                deformation_threshold=args.deformation_threshold,
+                thickness_rescale=args.thickness_rescale,
+            )
         cam = package_camera(package, i_frame, width, height)
         img = editing.render_edited(eg, cam, rcfg).image
         Image.fromarray(

@@ -54,19 +54,69 @@ class EditedGaussians(NamedTuple):
     sh_rotations: jnp.ndarray  # [N, 4] quats rotating view dirs for SH
 
 
+def thickness_rescale_factors(
+    ref_verts: jnp.ndarray,  # [V, 3] shell verts at make-editable time
+    new_verts: jnp.ndarray,  # [V, 3] edited shell verts
+    faces: jnp.ndarray,  # [F, 3]
+    mode: str = "median",
+) -> jnp.ndarray:
+    """Per-vertex factor rescaling the frosting thickness when the mesh is
+    edited (frosting_model.py:649-705 outer_verts/inner_verts editable
+    properties). "median": one global factor = median corner-to-centroid
+    distance ratio over all faces. "triangle": per-face median-corner ratio
+    scatter-averaged onto vertices. "none": ones."""
+    v = ref_verts.shape[0]
+    if mode == "none":
+        return jnp.ones((v,), jnp.float32)
+
+    def corner_dists(verts):
+        tri = verts[faces]  # [F, 3, 3]
+        return jnp.linalg.norm(
+            tri - tri.mean(axis=1, keepdims=True), axis=-1
+        )  # [F, 3]
+
+    ref_d = corner_dists(ref_verts)
+    new_d = corner_dists(new_verts)
+    if mode == "median":
+        factor = jnp.median(new_d) / jnp.maximum(jnp.median(ref_d), 1e-12)
+        return jnp.full((v,), factor, jnp.float32)
+    if mode == "triangle":
+        per_face = jnp.median(new_d, axis=-1) / jnp.maximum(
+            jnp.median(ref_d, axis=-1), 1e-12
+        )  # [F]
+        num = jnp.zeros((v,), jnp.float32).at[faces.reshape(-1)].add(
+            jnp.repeat(per_face, 3)
+        )
+        cnt = jnp.zeros((v,), jnp.float32).at[faces.reshape(-1)].add(1.0)
+        return num / jnp.maximum(cnt, 1.0)
+    raise ValueError(f"unknown thickness rescale mode: {mode}")
+
+
 def adapt_frosting(
     params: frosting_lib.FrostingParams,
     meta: frosting_lib.FrostingMeta,
     new_shell_verts: jnp.ndarray,
     deformation_threshold: float = 2.0,
+    thickness_rescale: str = "median",
 ) -> EditedGaussians:
     """Render-ready Gaussians for an edited/posed shell
     ('complex' adaptation: full per-cell affine on the covariance).
 
     deformation_threshold: Gaussians whose cell stretched by more than this
     factor get opacity zeroed (render_blender_scene.py deformation masking,
-    blender/frosting_utils.py:537-548)."""
-    edited = dataclasses.replace(params, shell_verts=new_shell_verts)
+    blender/frosting_utils.py:537-548).
+    thickness_rescale: "median" | "triangle" | "none" — rescale the shell
+    thickness with the local triangle size of the edited mesh
+    (render_blender_scene.py --editable_thickness flags, fm:649-705)."""
+    factor = thickness_rescale_factors(
+        params.shell_verts, new_shell_verts, meta.faces, thickness_rescale
+    )
+    edited = dataclasses.replace(
+        params,
+        shell_verts=new_shell_verts,
+        inner_dist=params.inner_dist * factor,
+        outer_dist=params.outer_dist * factor,
+    )
 
     ref_corners = frosting_lib.cell_corners(params, meta.faces)
     new_corners = frosting_lib.cell_corners(edited, meta.faces)
@@ -113,6 +163,56 @@ def adapt_frosting(
     sh = jnp.concatenate([params.sh_dc, params.sh_rest], axis=1)
     return EditedGaussians(
         means=means, cov6=cov6_new, opacities=opac, sh=sh, sh_rotations=sh_rot
+    )
+
+
+def _face_frames(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """[F, 3, 3] orthonormal frame per face (rows: tangent, bitangent,
+    normal)."""
+    tri = verts[faces]
+    t1 = tri[:, 1] - tri[:, 0]
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+    n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    t2 = jnp.cross(n, t1)
+    return jnp.stack([t1, t2, n], axis=1)
+
+
+def adapt_frosting_simple(
+    params: frosting_lib.FrostingParams,
+    meta: frosting_lib.FrostingMeta,
+    new_shell_verts: jnp.ndarray,
+    thickness_rescale: str = "median",
+) -> EditedGaussians:
+    """'Simple' adaptation (use_simple_adapt, frosting_model.py:739-791):
+    each Gaussian rigidly follows its cell's face rotation
+    (q' = q_face_delta * q) and its scales are multiplied by the thickness
+    factor — faster than the full per-cell affine, less accurate under
+    shear."""
+    edited = dataclasses.replace(params, shell_verts=new_shell_verts)
+    means = frosting_lib.gaussian_centers(edited, meta.faces, meta.cell_idx)
+
+    ref_f = _face_frames(params.shell_verts, meta.faces)  # [F, 3, 3]
+    new_f = _face_frames(new_shell_verts, meta.faces)
+    # rotation sending the reference basis to the new basis: with row-stacked
+    # orthonormal frames B, R = B_new^T @ B_ref  (R @ t_ref = t_new)
+    R = jnp.einsum("fab,fac->fbc", new_f, ref_f)[meta.cell_idx]
+    delta = quat_ops.from_matrix(R)
+    quats = quat_ops.normalize(params.quats_raw)
+    quats_new = quat_ops.multiply(delta, quats)
+
+    factor = thickness_rescale_factors(
+        params.shell_verts, new_shell_verts, meta.faces, thickness_rescale
+    )
+    # per-gaussian factor: mean of its cell's vertex factors
+    f_g = factor[meta.faces[meta.cell_idx]].mean(axis=-1)
+    scales = jnp.exp(params.scales_log) * f_g[:, None]
+    cov6 = cov_ops.cov3d_from_scale_quat(scales, quats_new)
+
+    opac = jax.nn.sigmoid(params.opacities_raw)
+    sh = jnp.concatenate([params.sh_dc, params.sh_rest], axis=1)
+    return EditedGaussians(
+        means=means, cov6=cov6, opacities=opac, sh=sh, sh_rotations=delta
     )
 
 

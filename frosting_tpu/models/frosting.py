@@ -65,10 +65,14 @@ class FrostingConfig:
     min_frosting_size: float = 0.001
     knn_k: int = 16
     sh_degree: int = 3
-    # limit offsets to this multiple of the local mean edge length (cheap
-    # stand-in for the reference's 20-iteration is_inside_frosting shrink
-    # loop, frosting_model.py:398-435)
+    # limit offsets to this multiple of the local mean edge length (fast
+    # pre-clamp; the true guard is the incremental-growth loop below)
     max_offset_edge_factor: float = 1.5
+    # grow offsets in n increments, freezing vertices whose sheet point
+    # lands inside another cell (frosting_model.py:398-435)
+    avoid_self_intersections: bool = True
+    self_intersection_iters: int = 20  # fm n_iterations default
+    self_intersection_knn: int = 8  # is_inside_frosting k_neighbors_to_use
 
 
 def contract(x: jnp.ndarray, c: jnp.ndarray, L: float) -> jnp.ndarray:
@@ -180,6 +184,120 @@ def level_dists_along_normals(
     return inner, outer
 
 
+def _cell_face_planes(inner_tri: jnp.ndarray, outer_tri: jnp.ndarray):
+    """Per-cell 5-face plane set of the prismatic cells.
+
+    inner_tri/outer_tri: [F, 3, 3]. Returns (normals [F, 5, 3] inward,
+    points [F, 5, 3]), exactly the construction of is_inside_frosting
+    (frosting_model.py:1680-1724): 3 side quads, inner cap, outer cap."""
+    i0, i1, i2 = inner_tri[:, 0], inner_tri[:, 1], inner_tri[:, 2]
+    o0, o1, o2 = outer_tri[:, 0], outer_tri[:, 1], outer_tri[:, 2]
+
+    def nrm(a, b):
+        c = jnp.cross(a, b)
+        return c / jnp.maximum(
+            jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-12
+        )
+
+    normals = jnp.stack(
+        [
+            nrm(i1 - i0, o0 - i0),
+            nrm(i2 - i1, o1 - i1),
+            nrm(o0 - i0, i2 - i0),
+            nrm(i2 - i0, i1 - i0),  # inner cap
+            nrm(o1 - o0, o2 - o0),  # outer cap
+        ],
+        axis=1,
+    )
+    points = jnp.stack([i0, i1, i0, i0, o0], axis=1)
+    # orient every plane normal INTO the cell (toward its centroid) so the
+    # inside test is winding-independent (the reference relies on a fixed
+    # winding convention instead, fm:1680-1724)
+    center = jnp.concatenate([inner_tri, outer_tri], axis=1).mean(
+        axis=1, keepdims=True
+    )  # [F, 1, 3]
+    sign = jnp.sign(
+        jnp.sum((center - points) * normals, axis=-1, keepdims=True)
+    )
+    normals = normals * jnp.where(sign == 0.0, 1.0, sign)
+    return normals, points
+
+
+def is_inside_cells(
+    points: jnp.ndarray,  # [P, 3]
+    inner_verts: jnp.ndarray,  # [V, 3]
+    outer_verts: jnp.ndarray,  # [V, 3]
+    faces: jnp.ndarray,  # [F, 3]
+    scene_scale: float,
+    k: int = 8,
+    proj_th: float = 1e-6,
+    exclude_cells: Optional[jnp.ndarray] = None,  # [P] cell to skip per point
+) -> jnp.ndarray:
+    """True where a point lies inside one of the k nearest prismatic cells
+    (is_inside_frosting, frosting_model.py:1675-1737): all 5 signed plane
+    projections > scene_scale * proj_th."""
+    inner_tri = inner_verts[faces]
+    outer_tri = outer_verts[faces]
+    normals, plane_pts = _cell_face_planes(inner_tri, outer_tri)
+    centers = jnp.concatenate([inner_tri, outer_tri], axis=1).mean(axis=1)
+    knn_idx, _ = knn_lib.knn_query(points, centers, k=k)  # [P, k]
+    n_g = normals[knn_idx]  # [P, k, 5, 3]
+    p_g = plane_pts[knn_idx]
+    proj = jnp.sum((points[:, None, None] - p_g) * n_g, axis=-1)  # [P, k, 5]
+    inside_cell = jnp.all(proj > scene_scale * proj_th, axis=-1)  # [P, k]
+    if exclude_cells is not None:
+        inside_cell = inside_cell & (knn_idx != exclude_cells[:, None])
+    return jnp.any(inside_cell, axis=-1)
+
+
+def avoid_self_intersections(
+    shell_verts: jnp.ndarray,  # [V, 3]
+    normals: jnp.ndarray,  # [V, 3] outward vertex normals
+    faces: jnp.ndarray,  # [F, 3]
+    inner_target: jnp.ndarray,  # [V] <= 0
+    outer_target: jnp.ndarray,  # [V] >= 0
+    scene_scale: float,
+    n_iters: int = 20,
+    k: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Incrementally grow the inner/outer offsets toward their targets,
+    freezing any vertex whose sheet point falls inside another prismatic
+    cell (the ctor loop, frosting_model.py:398-435). Functional re-design:
+    instead of boolean-mask indexing, a fori_loop carries (dists, frozen)
+    and reverts+freezes intersecting vertices each step."""
+    v = shell_verts.shape[0]
+    # NOTE: no own-cell exclusion needed — a sheet vertex lies ON the
+    # boundary planes of its incident cells, and inside requires strict
+    # proj > scene_scale * proj_th (same tolerance as the reference).
+
+    def body(_i, carry):
+        inner, outer, in_frozen, out_frozen = carry
+        step_in = inner_target / n_iters
+        step_out = outer_target / n_iters
+        cand_in = jnp.where(in_frozen, inner, inner + step_in)
+        cand_out = jnp.where(out_frozen, outer, outer + step_out)
+        iv = shell_verts + cand_in[:, None] * normals
+        ov = shell_verts + cand_out[:, None] * normals
+        bad_in = is_inside_cells(iv, iv, ov, faces, scene_scale, k=k)
+        bad_out = is_inside_cells(ov, iv, ov, faces, scene_scale, k=k)
+        inner = jnp.where(bad_in, inner, cand_in)
+        outer = jnp.where(bad_out, outer, cand_out)
+        return inner, outer, in_frozen | bad_in, out_frozen | bad_out
+
+    inner, outer, _fi, _fo = jax.lax.fori_loop(
+        0,
+        n_iters,
+        body,
+        (
+            jnp.zeros((v,), jnp.float32),
+            jnp.zeros((v,), jnp.float32),
+            jnp.zeros((v,), bool),
+            jnp.zeros((v,), bool),
+        ),
+    )
+    return inner, outer
+
+
 def init_frosting(
     key,
     shell_verts: np.ndarray,
@@ -218,7 +336,8 @@ def init_frosting(
         range_per_vertex=cfg.proposal_std_range * stds,
     )
 
-    # cheap self-intersection limiting: clamp offsets by local edge length
+    # fast pre-clamp by local edge length (bounds the KNN window the
+    # intersection tests must cover)
     edges = jnp.concatenate(
         [faces_j[:, [0, 1]], faces_j[:, [1, 2]], faces_j[:, [2, 0]]]
     )
@@ -231,6 +350,16 @@ def init_frosting(
     cap = cfg.max_offset_edge_factor * mean_edge
     inner_dist = jnp.maximum(inner_dist, -cap)
     outer_dist = jnp.minimum(outer_dist, cap)
+
+    # true self-intersection avoidance: grow offsets incrementally,
+    # freezing vertices whose sheet point enters another cell (fm:398-435)
+    if cfg.avoid_self_intersections:
+        inner_dist, outer_dist = avoid_self_intersections(
+            shell_verts, normals, faces_j, inner_dist, outer_dist,
+            scene_scale=spatial_extent,
+            n_iters=cfg.self_intersection_iters,
+            k=cfg.self_intersection_knn,
+        )
     min_sz = cfg.min_frosting_size * spatial_extent
     outer_dist = jnp.maximum(outer_dist, min_sz)
     inner_dist = jnp.minimum(inner_dist, -min_sz)

@@ -109,40 +109,75 @@ def knn(
     return idx, -neg_d2
 
 
-@functools.partial(jax.jit, static_argnames=("k", "window"))
+@functools.partial(jax.jit, static_argnames=("k",))
+def _knn_query_exact(queries, refs, k):
+    """Exact KNN via chunked brute force (small reference sets)."""
+
+    def one_chunk(q):  # [B, 3]
+        diff = refs[None] - q[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)  # [B, N]
+        neg_d2, idx = jax.lax.top_k(-d2, k)
+        return idx, -neg_d2
+
+    m = queries.shape[0]
+    b = 4096
+    pad = (-m) % b
+    qp = jnp.concatenate([queries, jnp.zeros((pad, 3), queries.dtype)])
+    idx, d2 = jax.lax.map(one_chunk, qp.reshape(-1, b, 3))
+    return idx.reshape(-1, k)[:m], d2.reshape(-1, k)[:m]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "n_grids"))
 def knn_query(
     queries: jnp.ndarray,  # [M, 3]
     refs: jnp.ndarray,  # [N, 3]
     k: int = 16,
     window: int = 48,
+    n_grids: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Approximate KNN of queries against a reference cloud (replaces
-    pytorch3d knn_points(queries, refs)). Returns (idx [M, k], sqdist)."""
+    """KNN of queries against a reference cloud (replaces pytorch3d
+    knn_points(queries, refs)). Returns (idx [M, k], sqdist).
+
+    Exact (chunked brute force) when the reference set is small; otherwise
+    Morton-window approximate over jittered grids. The Morton quantization
+    uses the JOINT bbox of refs and queries — with the refs-only bbox, a
+    query outside the refs' extent along any axis gets a clipped code and
+    lands arbitrarily far from its true neighbors in sorted order."""
     n = refs.shape[0]
-    lo = jnp.min(refs, axis=0)
-    hi = jnp.max(refs, axis=0)
-    ref_codes = morton_codes(refs, lo, hi)
-    order = jnp.argsort(ref_codes)
-    sorted_codes = ref_codes[order]
-    q_codes = morton_codes(queries, lo, hi)
-    pos = jnp.searchsorted(sorted_codes, q_codes).astype(jnp.int32)
-    offs = jnp.arange(-window, window + 1)
-    cand_pos = jnp.clip(pos[:, None] + offs[None, :], 0, n - 1)
-    cand = order[cand_pos]  # [M, 2W+1]
+    if n <= 16384:
+        return _knn_query_exact(queries, refs, k)
+    m = queries.shape[0]
+    lo = jnp.minimum(jnp.min(refs, axis=0), jnp.min(queries, axis=0))
+    hi = jnp.maximum(jnp.max(refs, axis=0), jnp.max(queries, axis=0))
+    span = hi - lo
+
+    cand_list = []
+    for g in range(n_grids):
+        shift = span * (g / (n_grids * 7.3))  # jittered grid origins
+        ref_codes = morton_codes(refs, lo - shift, hi)
+        order = jnp.argsort(ref_codes).astype(jnp.int32)
+        sorted_codes = ref_codes[order]
+        q_codes = morton_codes(queries, lo - shift, hi)
+        pos = jnp.searchsorted(sorted_codes, q_codes).astype(jnp.int32)
+        offs = jnp.arange(-window, window + 1)
+        cand_pos = jnp.clip(pos[:, None] + offs[None, :], 0, n - 1)
+        cand_list.append(order[cand_pos])
+    cand = jnp.concatenate(cand_list, axis=1)  # [M, n_grids*(2W+1)]
+
     diff = refs[cand] - queries[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
-    # de-duplicate clipped repeats at the window edges
+    # de-duplicate repeats (window-edge clipping + cross-grid overlap)
     order_c = jnp.argsort(cand, axis=1, stable=True)
     cand_sorted = jnp.take_along_axis(cand, order_c, axis=1)
     dup_sorted = jnp.concatenate(
         [
-            jnp.zeros((queries.shape[0], 1), bool),
+            jnp.zeros((m, 1), bool),
             cand_sorted[:, 1:] == cand_sorted[:, :-1],
         ],
         axis=1,
     )
     dup = jnp.zeros_like(dup_sorted).at[
-        jnp.arange(queries.shape[0])[:, None], order_c
+        jnp.arange(m)[:, None], order_c
     ].set(dup_sorted)
     d2 = jnp.where(dup, jnp.inf, d2)
     neg_d2, top_idx = jax.lax.top_k(-d2, k)

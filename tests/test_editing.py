@@ -101,3 +101,66 @@ def test_lbs_rigid_bone():
         jnp.asarray(v), jnp.asarray(w), jnp.asarray(rest), jnp.asarray(pose)
     )
     np.testing.assert_allclose(np.asarray(out), v + np.array([1, 2, 3]), atol=1e-5)
+
+
+def test_thickness_rescaling_factors():
+    """Uniform 2x mesh scale must rescale thickness by 2 in both modes;
+    rigid motion leaves it at 1 (fm:649-705)."""
+    params, meta = _make_frosting()
+    v = params.shell_verts
+    for mode in ("median", "triangle"):
+        f2 = editing.thickness_rescale_factors(v, 2.0 * v, meta.faces, mode)
+        np.testing.assert_allclose(np.asarray(f2), 2.0, rtol=1e-5)
+        q = quat_ops.normalize(jnp.asarray([0.9, 0.1, -0.3, 0.2]))
+        vr = quat_ops.apply(q[None], v) + jnp.asarray([0.3, -0.1, 0.2])
+        fr = editing.thickness_rescale_factors(v, vr, meta.faces, mode)
+        np.testing.assert_allclose(np.asarray(fr), 1.0, rtol=1e-4)
+    f0 = editing.thickness_rescale_factors(v, 2.0 * v, meta.faces, "none")
+    np.testing.assert_allclose(np.asarray(f0), 1.0)
+
+
+def test_thickness_rescaling_in_adapt():
+    """adapt_frosting with a 2x-scaled shell doubles the layer thickness:
+    gaussian centers move out to ~2x their original offset from the base
+    surface (because inner/outer dists rescale)."""
+    params, meta = _make_frosting()
+    eg_resc = editing.adapt_frosting(
+        params, meta, 2.0 * params.shell_verts, deformation_threshold=10.0,
+        thickness_rescale="median",
+    )
+    eg_none = editing.adapt_frosting(
+        params, meta, 2.0 * params.shell_verts, deformation_threshold=10.0,
+        thickness_rescale="none",
+    )
+    # radial offset of gaussian centers from the (scaled) unit-2 sphere
+    r_resc = jnp.linalg.norm(eg_resc.means, axis=-1) - 2.0
+    r_none = jnp.linalg.norm(eg_none.means, axis=-1) - 2.0
+    # with rescaling the off-surface spread doubles vs no rescaling
+    ratio = float(jnp.std(r_resc) / jnp.maximum(jnp.std(r_none), 1e-9))
+    assert 1.7 < ratio < 2.3, ratio
+
+
+def test_simple_adaptation_rigid_parity():
+    """Under a rigid motion, simple adaptation must agree with the full
+    affine adaptation (both reduce to the same rotation)."""
+    params, meta = _make_frosting()
+    q = quat_ops.normalize(jnp.asarray([0.8, -0.2, 0.4, 0.1]))
+    t = jnp.asarray([0.2, 0.5, -0.3])
+    new_v = quat_ops.apply(q[None], params.shell_verts) + t
+
+    eg_full = editing.adapt_frosting(
+        params, meta, new_v, deformation_threshold=10.0
+    )
+    eg_simple = editing.adapt_frosting_simple(params, meta, new_v)
+    np.testing.assert_allclose(
+        np.asarray(eg_simple.means), np.asarray(eg_full.means), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(eg_simple.cov6), np.asarray(eg_full.cov6), atol=1e-4
+    )
+    # rendered images agree
+    out_f = editing.render_edited(eg_full, CAM, CFG)
+    out_s = editing.render_edited(eg_simple, CAM, CFG)
+    np.testing.assert_allclose(
+        np.asarray(out_s.image), np.asarray(out_f.image), atol=5e-3
+    )

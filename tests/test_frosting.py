@@ -186,3 +186,68 @@ def test_occlusion_culling_compacts_compute():
         np.asarray(p_cull.bary_logits), np.asarray(p_mask.bary_logits),
         atol=5e-4,
     )
+
+
+def test_self_intersection_avoidance():
+    """Two facing sheets whose offsets grow toward each other must stop
+    growing when their sheet vertices invade the opposite cells (the
+    fm:398-435 incremental loop), instead of blowing through."""
+    from frosting_tpu.ops import mesh as mesh_ops
+
+    # plane A at z=0 (normals +z), plane B at z=1 (normals -z), facing
+    def grid_plane(z, flip):
+        n = 7
+        xs, ys = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n))
+        v = np.stack([xs.ravel(), ys.ravel(), np.full(n * n, z)], 1)
+        f = []
+        for i in range(n - 1):
+            for j in range(n - 1):
+                a = i * n + j
+                tri1 = [a, a + 1, a + n]
+                tri2 = [a + 1, a + n + 1, a + n]
+                if flip:
+                    tri1, tri2 = tri1[::-1], tri2[::-1]
+                f += [tri1, tri2]
+        return v.astype(np.float32), np.asarray(f, np.int32)
+
+    va, fa = grid_plane(0.0, flip=False)
+    vb, fb = grid_plane(1.0, flip=True)
+    # break the lateral degeneracy (aligned grids put sheet vertices
+    # exactly ON the opposite cells' boundary planes)
+    vb[:, 0] += 0.41 / 6.0
+    vb[:, 1] += 0.23 / 6.0
+    verts = jnp.asarray(np.concatenate([va, vb]), jnp.float32)
+    faces = jnp.asarray(np.concatenate([fa, fb + len(va)]), jnp.int32)
+    normals = mesh_ops.vertex_normals(verts, faces)
+    # sanity on orientation: A's normals +z, B's normals -z
+    assert float(normals[: len(va), 2].mean()) > 0.9
+    assert float(normals[len(va):, 2].mean()) < -0.9
+
+    nv = verts.shape[0]
+    inner_t = jnp.full((nv,), -0.05, jnp.float32)
+    outer_t = jnp.full((nv,), 0.8, jnp.float32)  # 2x0.8 > gap: sheets collide
+    inner, outer = frosting_lib.avoid_self_intersections(
+        verts, normals, faces, inner_t, outer_t, scene_scale=1.0, n_iters=20
+    )
+    # interior vertices must stop near half the gap, far below the target
+    interior = np.asarray(
+        (verts[:, 0] > 0.2) & (verts[:, 0] < 0.8)
+        & (verts[:, 1] > 0.2) & (verts[:, 1] < 0.8)
+    )
+    assert float(jnp.max(outer[interior])) < 0.72  # stopped near half-gap
+    # inner growth (away from the other sheet) is unconstrained
+    np.testing.assert_allclose(np.asarray(inner), -0.05, atol=1e-5)
+
+    # the loop can't prevent OTHER growing cells from engulfing an
+    # already-frozen vertex (same property as the reference's loop), so
+    # assert a strong reduction vs the unchecked result, not strict zero
+    iv = verts + inner[:, None] * normals
+    ov = verts + outer[:, None] * normals
+    bad = int(frosting_lib.is_inside_cells(ov, iv, ov, faces, 1.0).sum())
+    iv_n = verts + inner_t[:, None] * normals
+    ov_n = verts + outer_t[:, None] * normals
+    bad_naive = int(
+        frosting_lib.is_inside_cells(ov_n, iv_n, ov_n, faces, 1.0).sum()
+    )
+    assert bad_naive > 20  # unchecked growth really does self-intersect
+    assert bad < bad_naive // 2
