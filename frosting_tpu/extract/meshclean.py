@@ -91,6 +91,49 @@ def decimate_vertex_clustering(
     return new_verts, new_faces
 
 
+def remove_unsupported_vertices(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    support_points: np.ndarray,
+    quantile: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop the `quantile` fraction of vertices farthest from the input
+    surface cloud (the density-quantile vertex cleaning of
+    coarse_shell.py:466-506 — Open3D's Poisson densities measure sample
+    support per vertex; here support = inverse NN-distance to the cloud,
+    which ranks hallucinated geometry identically)."""
+    if quantile <= 0.0 or len(verts) == 0:
+        return verts, faces
+    tree = cKDTree(support_points)
+    d, _ = tree.query(verts, k=1, workers=-1)
+    cutoff = np.quantile(d, 1.0 - quantile)
+    bad_v = d > cutoff
+    keep_f = ~bad_v[faces].any(axis=1)
+    return keep_faces(verts, faces, keep_f)
+
+
+def project_on_points(
+    verts: np.ndarray, support_points: np.ndarray, blend: float = 1.0
+) -> np.ndarray:
+    """Snap mesh vertices onto their nearest extracted surface point
+    (coarse_shell.py:526-554 'project mesh on surface points to recover
+    better details'); blend<1 moves only partway."""
+    tree = cKDTree(support_points)
+    _, idx = tree.query(verts, k=1, workers=-1)
+    return verts * (1.0 - blend) + support_points[idx] * blend
+
+
+def merge_meshes(parts) -> Tuple[np.ndarray, np.ndarray]:
+    """Concatenate (verts, faces) pairs with vertex offsets."""
+    parts = [p for p in parts if p is not None and len(p[0])]
+    vs, fs, off = [], [], 0
+    for v, f in parts:
+        vs.append(v)
+        fs.append(np.asarray(f) + off)
+        off += len(v)
+    return np.concatenate(vs), np.concatenate(fs)
+
+
 def face_components(faces: np.ndarray, n_verts: int) -> np.ndarray:
     """Label connected components over shared vertices. Returns per-face
     component ids."""

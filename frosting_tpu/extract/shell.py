@@ -41,10 +41,26 @@ class ShellConfig:
     n_ray_samples: int = 21  # frosting_model.py:178 "21 samples over +/-3sigma"
     range_sigma: float = 3.0
     knn_k: int = 16
-    poisson_resolution: int = 128
-    target_vertices: int = 50_000
+    # 0 = auto: resolution 2^depth from the NN-distance heuristic
+    # (compute_optimal_poisson_depth, coarse_shell.py:17-49), capped at
+    # max_poisson_resolution
+    poisson_resolution: int = 0
+    max_poisson_resolution: int = 256
+    target_vertices: int = 1_000_000  # high_poly default (train.py:118-121)
     outlier_k: int = 20
     outlier_std: float = 2.0
+    # fraction of least-supported Poisson vertices to drop
+    # (vertices_density_quantile, coarse_shell.py:466-506; 0.1 for
+    # MipNeRF360, 0.0 for Shelly per configs/*.json)
+    cleaning_quantile: float = 0.1
+    # fg/bg split by camera-centered bbox (coarse_shell.py:382-405): fg
+    # within fg_bbox_factor x spatial extent, bg within bg_bbox_factor x;
+    # each half gets its own Poisson + cleaning + decimation
+    fg_split: bool = False
+    fg_bbox_factor: float = 1.0
+    bg_bbox_factor: float = 4.0
+    # snap mesh verts onto extracted surface points (coarse_shell.py:526-554)
+    project_on_surface: bool = True
     # visibility-based connected-component culling (coarse_shell.py:565-617);
     # None disables it and keeps only the largest component
     visibility_threshold: float | None = 0.001
@@ -177,6 +193,54 @@ def level_points_from_camera(
     )
 
 
+def auto_poisson_resolution(
+    points: np.ndarray,
+    max_resolution: int = 256,
+    cell_size_nn_distance_ratio: float = 100.0,
+    quantile: float = 0.1,
+) -> int:
+    """Grid resolution 2^depth from the reference's auto-depth heuristic
+    (compute_optimal_poisson_depth, coarse_shell.py:17-49): pick the depth
+    whose cell size is ~1/100 of the 10%-quantile NN distance, capped."""
+    if len(points) < 4:
+        return 64
+    sub = points
+    if len(sub) > 100_000:
+        sub = sub[:: len(sub) // 100_000]
+    from scipy.spatial import cKDTree
+
+    bbox = 1.1 * float(np.max(sub.max(0) - sub.min(0)))
+    d, _ = cKDTree(sub).query(sub, k=2, workers=-1)
+    q = float(np.quantile(d[:, 1], quantile)) / max(bbox, 1e-12)
+    depth = int(np.floor(-np.log2(max(cell_size_nn_distance_ratio * q, 1e-12))))
+    depth = max(6, min(depth, int(np.log2(max_resolution))))
+    return 1 << depth
+
+
+def _reconstruct_half(pts, nrm, cfg: ShellConfig, verbose, tag):
+    """Outliers -> Poisson (auto depth) -> quantile clean for one half."""
+    from frosting_tpu.extract import meshclean, poisson
+
+    if len(pts) < 16:
+        return None
+    pts_f, _keep, (nrm_f,) = meshclean.remove_statistical_outliers(
+        pts, k=cfg.outlier_k, std_ratio=cfg.outlier_std, extra=[nrm]
+    )
+    res = cfg.poisson_resolution or auto_poisson_resolution(
+        pts_f, cfg.max_poisson_resolution
+    )
+    verts, faces = poisson.poisson_reconstruct(pts_f, nrm_f, resolution=res)
+    if verbose:
+        print(
+            f"[shell/{tag}] poisson res {res}: "
+            f"{len(verts)} verts {len(faces)} faces"
+        )
+    verts, faces = meshclean.remove_unsupported_vertices(
+        verts, faces, pts_f, cfg.cleaning_quantile
+    )
+    return verts, faces
+
+
 def extract_shell(
     means, scales, quats, opac,
     cameras: List[Camera],
@@ -187,7 +251,7 @@ def extract_shell(
     """Full shell extraction. Returns (verts, faces, aux) with aux holding
     the raw surface points/normals and per-vertex inner/outer info for the
     frosting stage."""
-    from frosting_tpu.extract import meshclean, poisson
+    from frosting_tpu.extract import meshclean
 
     all_pts, all_nrm, all_inner = [], [], []
     for cam in cameras:
@@ -204,15 +268,31 @@ def extract_shell(
     if verbose:
         print(f"[shell] {len(pts)} surface points from {len(cameras)} cameras")
 
-    pts_f, keep, (nrm_f, inner_f) = meshclean.remove_statistical_outliers(
-        pts, k=cfg.outlier_k, std_ratio=cfg.outlier_std, extra=[nrm, inner]
-    )
-    verts, faces = poisson.poisson_reconstruct(
-        pts_f, nrm_f, resolution=cfg.poisson_resolution
-    )
-    if verbose:
-        print(f"[shell] poisson mesh: {len(verts)} verts {len(faces)} faces")
-    verts, faces = meshclean.decimate(verts, faces, cfg.target_vertices)
+    if cfg.fg_split:
+        # camera-centered fg/bg split (coarse_shell.py:382-405)
+        centers = np.stack([np.asarray(c.cam_center) for c in cameras])
+        avg = centers.mean(axis=0)
+        extent = 1.1 * float(
+            np.linalg.norm(centers - avg[None], axis=1).max()
+        )
+        off = np.abs(pts - avg[None]).max(axis=1)
+        fg_mask = off < cfg.fg_bbox_factor * extent
+        bg_mask = (~fg_mask) & (off < cfg.bg_bbox_factor * extent)
+        halves = [
+            _reconstruct_half(pts[m], nrm[m], cfg, verbose, tag)
+            for m, tag in ((fg_mask, "fg"), (bg_mask, "bg"))
+        ]
+        halves = [
+            meshclean.decimate(v, f, cfg.target_vertices)
+            for v, f in [h for h in halves if h is not None]
+        ]
+        verts, faces = meshclean.merge_meshes(halves)
+    else:
+        verts, faces = _reconstruct_half(pts, nrm, cfg, verbose, "all")
+        verts, faces = meshclean.decimate(verts, faces, cfg.target_vertices)
+
+    if cfg.project_on_surface:
+        verts = meshclean.project_on_points(verts, pts)
     if cfg.visibility_threshold is not None:
         verts, faces = meshclean.visibility_cull_components(
             verts, faces, cameras, rcfg, cfg.visibility_threshold
@@ -222,8 +302,8 @@ def extract_shell(
     if verbose:
         print(f"[shell] cleaned mesh: {len(verts)} verts {len(faces)} faces")
     aux = {
-        "surface_points": pts_f,
-        "surface_normals": nrm_f,
-        "inner_points": inner_f,
+        "surface_points": pts,
+        "surface_normals": nrm,
+        "inner_points": inner,
     }
     return verts, faces, aux

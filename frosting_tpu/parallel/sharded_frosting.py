@@ -1,0 +1,164 @@
+"""Sharded frosting REFINEMENT step — the hot loop that actually needs
+chips (refine.py:464-571 runs 2M-5M Gaussians for up to 15k iterations).
+
+Same mesh/axis design as parallel/sharded_train.py (data x tile):
+  * "data"  — camera batch parallelism;
+  * "tile"  — image strips for the blend, AND the primitive axis for the
+    per-Gaussian stages: frosting activation (softmax-bary x cell corners)
+    is per-Gaussian given the (small, replicated) shell, so each device
+    activates + projects a 1/n_tile slice of the frosting (and of the
+    background Gaussians) and all-gathers the projected set over ICI.
+Parameter gradients are psum over both axes; the shell/corner arrays are
+replicated (they are ~V+F sized, tiny next to N Gaussians).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from frosting_tpu.models.frosting import (
+    FrostingMeta,
+    FrostingParams,
+    cell_corners,
+)
+from frosting_tpu.ops import quat as quat_ops
+from frosting_tpu.ops.ssim import l1_loss, psnr, ssim
+from frosting_tpu.raster import RasterConfig
+from frosting_tpu.raster.preprocess import preprocess, shift_projected
+from frosting_tpu.raster.render import render_projected
+from frosting_tpu.train.frosting_trainer import FrostingTrainConfig
+from frosting_tpu.parallel.sharded_train import strip_config
+
+
+def _activate_shard(params: FrostingParams, meta: FrostingMeta, sl):
+    """Activated arrays for one primitive shard (sl = slice fn)."""
+    corners = cell_corners(params, meta.faces)  # [F, 6, 3] replicated
+    cell_idx = sl(meta.cell_idx)
+    w = jax.nn.softmax(sl(params.bary_logits), axis=-1)
+    means = jnp.sum(w[..., None] * corners[cell_idx], axis=1)
+    scales = jnp.exp(sl(params.scales_log))
+    quats = quat_ops.normalize(sl(params.quats_raw))
+    opac = jax.nn.sigmoid(sl(params.opacities_raw))
+    sh = jnp.concatenate([sl(params.sh_dc), sl(params.sh_rest)], axis=1)
+    return means, scales, quats, opac, sh
+
+
+def _activate_bg_shard(bg, sl):
+    means = sl(bg.means3d)
+    scales = jnp.exp(sl(bg.scales_log))
+    quats = quat_ops.normalize(sl(bg.quats_raw))
+    opac = jax.nn.sigmoid(sl(bg.opacities_raw)) * sl(bg.mask)
+    sh = jnp.concatenate([sl(bg.sh_dc), sl(bg.sh_rest)], axis=1)
+    return means, scales, quats, opac, sh
+
+
+def make_sharded_frosting_step(
+    tx,
+    rcfg: RasterConfig,
+    cfg: FrostingTrainConfig,
+    mesh: Mesh,
+    meta: FrostingMeta,
+):
+    """Returns jitted step(params, opt_state, cam_batch, gt_batch)
+    -> (params, opt_state, metrics). Params/opt state replicated;
+    cam_batch leading dim n_data; gt_batch [n_data, 3, H, W] sharded
+    (data, tile-strips). Shard with sharded_train.shard_batch."""
+    n_data = mesh.shape["data"]
+    n_tile = mesh.shape["tile"]
+    s_cfg = strip_config(rcfg, n_tile)
+    strip_h = s_cfg.height
+    bg_value = 1.0 if cfg.white_background else 0.0
+
+    def device_loss(params: FrostingParams, camera, gt_strip, active_deg):
+        bg_color = jnp.full((3,), bg_value, jnp.float32)
+        tile_idx = jax.lax.axis_index("tile")
+        y0 = tile_idx * strip_h
+
+        n = params.bary_logits.shape[0]
+        if n % n_tile != 0:
+            raise ValueError("n_gaussians must divide the tile axis")
+        shard = n // n_tile
+
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, tile_idx * shard, shard)
+
+        parts = [_activate_shard(params, meta, sl)]
+        if params.bg is not None:
+            nb = params.bg.capacity
+            if nb % n_tile != 0:
+                raise ValueError("bg capacity must divide the tile axis")
+            bshard = nb // n_tile
+
+            def slb(x):
+                return jax.lax.dynamic_slice_in_dim(
+                    x, tile_idx * bshard, bshard
+                )
+
+            parts.append(_activate_bg_shard(params.bg, slb))
+        arrays = [jnp.concatenate(xs) for xs in zip(*parts)]
+
+        proj_local = preprocess(
+            *arrays, camera, rcfg, active_sh_degree=active_deg
+        )
+        proj = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, "tile", tiled=True), proj_local
+        )
+        proj = shift_projected(proj, (0, y0), s_cfg)
+        out = render_projected(proj, s_cfg, bg=bg_color)
+
+        ll1 = l1_loss(out.image, gt_strip)
+        loss = (1.0 - cfg.lambda_dssim) * ll1 + cfg.lambda_dssim * (
+            1.0 - ssim(out.image, gt_strip)
+        )
+        loss = loss / (n_data * n_tile)
+        aux = (
+            out.num_instances,
+            out.overflow,
+            psnr(jnp.clip(out.image, 0, 1), gt_strip),
+        )
+        return loss, aux
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data", None, "tile", None)),
+        out_specs=(P(), P(), P()),
+    )
+    def sharded_grads(params, cams, gts):
+        camera = jax.tree.map(lambda x: x[0], cams)
+        gt_strip = gts[0]
+
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: device_loss(p, camera, gt_strip, cfg.sh_degree),
+            has_aux=True,
+        )(params)
+        n_inst, ovf, psnr_strip = aux
+        grads = jax.lax.psum(grads, ("data", "tile"))
+        loss = jax.lax.psum(loss, ("data", "tile"))
+        stats = jnp.stack(
+            [jnp.float32(n_inst), jnp.float32(ovf), psnr_strip]
+        )
+        stats = jax.lax.pmax(stats, ("data", "tile"))
+        return loss, grads, stats
+
+    @jax.jit
+    def step(params: FrostingParams, opt_state, cam_batch, gt_batch):
+        loss, grads, stats = sharded_grads(params, cam_batch, gt_batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            "loss": loss,
+            "num_instances": stats[0],
+            "overflow": stats[1],
+            "psnr_strip": stats[2],
+        }
+        return params, opt_state, metrics
+
+    return step

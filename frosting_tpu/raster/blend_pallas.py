@@ -125,7 +125,7 @@ def to_block_layout(padded_fields: jnp.ndarray, cfg: RasterConfig):
 
 
 def blend_forward_pallas(
-    padded_fields: jnp.ndarray,  # [padded_rows, 16]
+    padded3: jnp.ndarray,  # [n_blocks, 16, K] (to_block_layout output)
     binned: Binned,
     cfg: RasterConfig,
 ) -> jnp.ndarray:
@@ -160,7 +160,7 @@ def blend_forward_pallas(
     )(
         binned.tile_block0,
         binned.tile_nchunks,
-        to_block_layout(padded_fields, cfg),
+        padded3,
     )
 
 
@@ -265,7 +265,7 @@ def _backward_kernel(
 
 
 def blend_backward_pallas(
-    padded_fields: jnp.ndarray,
+    padded3: jnp.ndarray,  # [n_blocks, 16, K]
     binned: Binned,
     out_fwd: jnp.ndarray,  # [n_tiles, 4, P]
     g_out: jnp.ndarray,  # [n_tiles, 4, P]
@@ -315,7 +315,7 @@ def blend_backward_pallas(
     )(
         binned.tile_block0,
         binned.tile_nchunks,
-        to_block_layout(padded_fields, cfg),
+        padded3,
         zeros,
         out_fwd,
         g_out,

@@ -36,18 +36,28 @@ def _float0_like(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
-def _blend_impl(fields_ext, binned: Binned, cfg: RasterConfig):
+def _gather_padded(fields_ext, binned: Binned, cfg: RasterConfig):
+    """Instance gather, done ONCE per step (the [padded_rows]-row gather is
+    as expensive as the whole blend kernel; forward and backward share it
+    via the custom-VJP residuals). Pallas uses the DMA-aligned block
+    layout, the JAX twin the flat row layout."""
+    padded = jnp.take(fields_ext, binned.padded_gauss, axis=0)
     if cfg_backend(cfg) == "pallas":
         from frosting_tpu.raster import blend_pallas
 
-        padded = jnp.take(fields_ext, binned.padded_gauss, axis=0)
+        return blend_pallas.to_block_layout(padded, cfg)
+    return padded
+
+
+def _blend_impl(padded, binned: Binned, cfg: RasterConfig):
+    if cfg_backend(cfg) == "pallas":
+        from frosting_tpu.raster import blend_pallas
+
         return blend_pallas.blend_forward_pallas(padded, binned, cfg)
-    padded = jnp.take(fields_ext, binned.padded_gauss, axis=0)
     return blend_jax.blend_forward_jax(padded, binned, cfg)
 
 
-def _blend_bwd_impl(fields_ext, binned: Binned, out, g_out, cfg: RasterConfig):
-    padded = jnp.take(fields_ext, binned.padded_gauss, axis=0)
+def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
     if cfg_backend(cfg) == "pallas":
         from frosting_tpu.raster import blend_pallas
 
@@ -57,7 +67,7 @@ def _blend_bwd_impl(fields_ext, binned: Binned, out, g_out, cfg: RasterConfig):
     else:
         grads_inst = blend_jax.blend_backward_jax(padded, binned, out, g_out, cfg)
     return jax.ops.segment_sum(
-        grads_inst, binned.padded_gauss, num_segments=fields_ext.shape[0]
+        grads_inst, binned.padded_gauss, num_segments=n_ext
     )
 
 
@@ -71,17 +81,20 @@ def cfg_backend(cfg: RasterConfig) -> str:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _blend(cfg: RasterConfig, fields_ext, rect, depths, valid):
     binned = bin_gaussians(rect, depths, valid, cfg)
-    out = _blend_impl(fields_ext, binned, cfg)
+    padded = _gather_padded(fields_ext, binned, cfg)
+    out = _blend_impl(padded, binned, cfg)
     return out, binned.num_instances, binned.overflow
 
 
 def _blend_fwd(cfg, fields_ext, rect, depths, valid):
     binned = bin_gaussians(rect, depths, valid, cfg)
-    out = _blend_impl(fields_ext, binned, cfg)
+    padded = _gather_padded(fields_ext, binned, cfg)
+    out = _blend_impl(padded, binned, cfg)
     return (out, binned.num_instances, binned.overflow), (
-        fields_ext,
+        padded,
         binned,
         out,
+        fields_ext.shape[0],
         rect,
         depths,
         valid,
@@ -90,8 +103,8 @@ def _blend_fwd(cfg, fields_ext, rect, depths, valid):
 
 def _blend_bwd(cfg, res, cotangents):
     g_out, _g_n, _g_ovf = cotangents
-    fields_ext, binned, out, rect, depths, valid = res
-    dfields = _blend_bwd_impl(fields_ext, binned, out, g_out, cfg)
+    padded, binned, out, n_ext, rect, depths, valid = res
+    dfields = _blend_bwd_impl(padded, binned, out, g_out, n_ext, cfg)
     return (
         dfields,
         _float0_like(rect),

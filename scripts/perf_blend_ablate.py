@@ -72,7 +72,12 @@ def main():
         padded = jnp.take(fields_ext, binned.padded_gauss, axis=0)
         return padded, binned
 
-    padded, binned = prepare(*gs, cam)
+    @jax.jit
+    def prepare3(means, scales, quats, opac, sh, camera):
+        padded, binned = prepare(means, scales, quats, opac, sh, camera)
+        return blend_pallas.to_block_layout(padded, cfg), binned
+
+    padded, binned = prepare3(*gs, cam)
     padded.block_until_ready()
 
     iters = args.iters

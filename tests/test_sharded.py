@@ -82,3 +82,125 @@ def test_sharded_step_matches_single_device():
         / (np.linalg.norm(upd) * np.linalg.norm(ref_upd) + 1e-12)
     )
     assert cos > 0.999, cos
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_frosting_refine_matches_single_device():
+    """The REFINE stage (the 2-5M-gaussian hot loop, refine.py:464-571)
+    sharded over (data x tile) with primitive-sharded frosting activation
+    must match the single-device step: loss and update direction."""
+    import dataclasses
+
+    from frosting_tpu.extract.shell import ShellConfig, extract_shell
+    from frosting_tpu.models import frosting as frosting_lib
+    from frosting_tpu.parallel import sharded_frosting as sf
+    from frosting_tpu.scene.gaussians import create_from_pcd
+    from frosting_tpu.train import frosting_trainer
+
+    rcfg = RasterConfig(
+        width=64, height=64, tile_w=32, tile_h=16, chunk=32,
+        max_instances=16384, backend="jax",
+    )
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(300, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    means = jnp.asarray(d, jnp.float32)
+    gt = (
+        means,
+        jnp.full((300, 3), 0.06, jnp.float32),
+        jnp.asarray(
+            np.concatenate([np.ones((300, 1)), np.zeros((300, 3))], 1),
+            jnp.float32,
+        ),
+        jnp.full((300,), 0.9, jnp.float32),
+        jnp.asarray(
+            np.concatenate(
+                [((np.asarray(means) + 1.5) / 3.0)[:, None],
+                 np.zeros((300, 15, 3))], 1
+            ),
+            jnp.float32,
+        ),
+    )
+    cams = synthetic.camera_ring(n_cams=2, radius=3.2)
+    bg = jnp.zeros((3,), jnp.float32)
+    gt_imgs = synthetic.render_gt_images(gt, cams, rcfg, bg)
+
+    verts, faces, _aux = extract_shell(
+        gt[0], gt[1], gt[2], gt[3], cams, rcfg,
+        ShellConfig(poisson_resolution=48, target_vertices=800, knn_k=8),
+    )
+    # bg source: a few points outside the bbox; capacities divisible by 4
+    pts = np.concatenate(
+        [np.asarray(gt[0]), rng.uniform(2.0, 3.0, (84, 3)).astype(np.float32)]
+    )
+    gaussians = create_from_pcd(
+        pts, rng.uniform(0.2, 0.8, (len(pts), 3)), capacity=384
+    )
+    fcfg = frosting_lib.FrostingConfig(
+        n_gaussians=1024, knn_k=8, avoid_self_intersections=False
+    )
+    fparams, meta = frosting_lib.init_frosting(
+        jax.random.key(0), verts, faces, gt[0], gt[1], gt[2], gt[3],
+        gaussians, fcfg, 3.5, use_background=True,
+    )
+    assert fparams.bg is not None
+
+    tcfg = frosting_trainer.FrostingTrainConfig(
+        iterations=1, lr_max_steps=10
+    )
+    tx = frosting_trainer.make_frosting_optimizer(tcfg, 3.5)
+    opt_state = tx.init(fparams)
+
+    from frosting_tpu.parallel import sharded_train as st
+
+    mesh = st.make_mesh(n_data=2, n_tile=4)
+    step = sf.make_sharded_frosting_step(tx, rcfg, tcfg, mesh, meta)
+    cam_batch = st.stack_cameras(cams)
+    cams_s, gts_s = st.shard_batch(mesh, cam_batch, jnp.asarray(gt_imgs))
+    p_new, _opt, metrics = step(fparams, opt_state, cams_s, gts_s)
+    assert np.isfinite(float(metrics["loss"]))
+    assert not bool(metrics["overflow"])
+
+    # single-device reference with the strip-SSIM loss definition
+    def ref_loss(params):
+        means, scales, quats, opac, sh = frosting_lib.activate_frosting(
+            params, meta
+        )
+        total = 0.0
+        for i, cam in enumerate(cams):
+            out = render(
+                means, scales, quats, opac, sh, cam, rcfg, bg=bg,
+                active_sh_degree=tcfg.sh_degree,
+            )
+            ll1 = l1_loss(out.image, jnp.asarray(gt_imgs[i]))
+            sp = out.image.reshape(3, 4, 16, 64)
+            sg = jnp.asarray(gt_imgs[i]).reshape(3, 4, 16, 64)
+            dssim = jnp.mean(
+                jnp.stack([1.0 - ssim(sp[:, s], sg[:, s]) for s in range(4)])
+            )
+            total += (1 - tcfg.lambda_dssim) * ll1 + tcfg.lambda_dssim * dssim
+        return total / len(cams)
+
+    loss_ref, grads_ref = jax.value_and_grad(ref_loss)(fparams)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(loss_ref), rtol=3e-4
+    )
+    updates, _ = tx.update(grads_ref, tx.init(fparams), fparams)
+
+    def flat(tree_new, tree_old=None):
+        leaves = jax.tree.leaves(
+            tree_new
+            if tree_old is None
+            else jax.tree.map(lambda a, b: a - b, tree_new, tree_old)
+        )
+        return np.concatenate([np.asarray(l).ravel() for l in leaves])
+
+    ref_upd = flat(updates)
+    upd = flat(p_new, fparams)
+    cos = float(
+        np.dot(upd, ref_upd)
+        / (np.linalg.norm(upd) * np.linalg.norm(ref_upd) + 1e-12)
+    )
+    assert cos > 0.999, cos
+    # background gaussians moved in the sharded step too
+    assert float(jnp.abs(p_new.bg.sh_dc - fparams.bg.sh_dc).max()) > 0
