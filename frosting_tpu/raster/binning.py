@@ -40,6 +40,13 @@ class Binned(NamedTuple):
     work_pxy: jnp.ndarray  # [work_cap] packed (px0, py0)
     tile_block0: jnp.ndarray  # [n_tiles] first block index of each tile
     tile_nchunks: jnp.ndarray  # [n_tiles] chunk count of each tile (>= 1)
+    # Backward-reduction helpers (replace jax.ops.segment_sum's scatter-add,
+    # which costs more than the whole blend on TPU): in ORIGINAL expansion
+    # order each gaussian's instances are contiguous, so the per-gaussian
+    # gradient sum is a gather + a sorted-segment reduction.
+    inv_map: jnp.ndarray  # [max_instances] padded row of orig instance i
+    gauss_orig: jnp.ndarray  # [max_instances] gaussian id of orig instance i
+    #                          (= N sentinel for i >= num_instances)
     n_work: jnp.ndarray  # [] number of real work items
     num_instances: jnp.ndarray  # [] pre-clamp instance count
     overflow: jnp.ndarray  # [] bool, true if max_instances exceeded
@@ -136,9 +143,11 @@ def bin_gaussians(
     inst_gauss = jnp.where(inst_valid, gauss_c, n).astype(i32)
 
     # --- stable lexicographic sort on (tile, depth-rank); ties keep
-    # gaussian (=submission) order like the CUDA stable radix sort ---
-    tile_s, _rank_s, gauss_s = jax.lax.sort(
-        (tile_id, inst_rank, inst_gauss), num_keys=2, is_stable=True
+    # gaussian (=submission) order like the CUDA stable radix sort.
+    # `orig_s` carries the pre-sort instance index so the backward can map
+    # padded rows back to the contiguous-per-gaussian original order ---
+    tile_s, _rank_s, gauss_s, orig_s = jax.lax.sort(
+        (tile_id, inst_rank, inst_gauss, inst), num_keys=2, is_stable=True
     )
 
     # --- per-tile ranges (identifyTileRanges, rasterizer_impl.cu:116-138) ---
@@ -165,6 +174,14 @@ def bin_gaussians(
     # the trailing dummy block must stay sentinel even after clamped scatters
     padded_gauss = padded_gauss.at[cfg.padded_rows - 1].set(n)
 
+    # orig instance -> padded row (invalid instances land on the final
+    # dummy row, whose gradient is always zero)
+    inv_map = (
+        jnp.full((cap,), cfg.padded_rows - 1, i32)
+        .at[orig_s]
+        .set(dest, mode="drop")
+    )
+
     # --- flat chunk work-list ---
     chunk_cum = jnp.cumsum(n_chunks)  # inclusive
     n_work = chunk_cum[-1]
@@ -189,6 +206,8 @@ def bin_gaussians(
         work_pxy=((work_px0 << 16) | work_py0).astype(i32),
         tile_block0=(padded_off // k).astype(i32),
         tile_nchunks=n_chunks.astype(i32),
+        inv_map=inv_map,
+        gauss_orig=inst_gauss,
         n_work=n_work,
         num_instances=total,
         overflow=overflow,

@@ -56,7 +56,7 @@ def _forward_kernel(
     # outputs
     out_ref,  # (1, 4, P) VMEM block of this tile
     # scratch
-    buf_ref,  # (2, 16, K) double-buffered instance chunks
+    buf_ref,  # (2, SB, 16, K) double-buffered instance superblocks
     sem_ref,  # (2,) DMA semaphores
     *,
     cfg: RasterConfig,
@@ -65,11 +65,15 @@ def _forward_kernel(
     block0 = s_block0[t]
     n = s_nchunk[t]
     p = cfg.tile_pixels
+    sb = cfg.dma_superblock
+    n_super = pl.cdiv(n, sb)
     px, py = _tile_pixel_coords(t, cfg)
 
-    def dma(slot, j):
+    def dma(slot, s):
+        # one copy fetches `sb` consecutive chunks; the buffer carries
+        # trailing slack blocks, so the tail superblock over-reads harmlessly
         return pltpu.make_async_copy(
-            inst_hbm.at[block0 + j],
+            inst_hbm.at[pl.ds(block0 + s * sb, sb)],
             buf_ref.at[slot],
             sem_ref.at[slot],
         )
@@ -77,27 +81,38 @@ def _forward_kernel(
     dma(0, 0).start()
 
     def cond(c):
-        j, t_all, t_mask, color = c
+        s, t_all, t_mask, color = c
         # chunk-level early stop (renderCUDA per-pixel `done` break,
         # forward.cu:305-309): t_all is monotone, so once every pixel is
         # below the stop threshold later chunks cannot contribute
-        return (j < n) & (jnp.max(t_all) >= chunk_math.TRANSMITTANCE_EPS)
+        return (s < n_super) & (
+            jnp.max(t_all) >= chunk_math.TRANSMITTANCE_EPS
+        )
 
     def body(c):
-        j, t_all, t_mask, color = c
-        slot = jax.lax.rem(j, 2)
+        s, t_all, t_mask, color = c
+        slot = jax.lax.rem(s, 2)
 
-        @pl.when(j + 1 < n)
+        @pl.when(s + 1 < n_super)
         def _():
-            dma(1 - slot, j + 1).start()
+            dma(1 - slot, s + 1).start()
 
-        dma(slot, j).wait()
-        t_all, t_mask, color = chunk_math.forward_chunk(
-            buf_ref[slot].T, t_all, t_mask, color, px, py
-        )
-        return j + 1, t_all, t_mask, color
+        dma(slot, s).wait()
+        for jj in range(sb):
+            live = (s * sb + jj < n) & (
+                jnp.max(t_all) >= chunk_math.TRANSMITTANCE_EPS
+            )
+            t_all, t_mask, color = jax.lax.cond(
+                live,
+                lambda ta, tm, co: chunk_math.forward_chunk(
+                    buf_ref[slot, jj].T, ta, tm, co, px, py
+                ),
+                lambda ta, tm, co: (ta, tm, co),
+                t_all, t_mask, color,
+            )
+        return s + 1, t_all, t_mask, color
 
-    j, t_all, t_mask, color = jax.lax.while_loop(
+    s, t_all, t_mask, color = jax.lax.while_loop(
         cond,
         body,
         (
@@ -109,9 +124,9 @@ def _forward_kernel(
     )
 
     # drain the in-flight prefetch if the loop exited early
-    @pl.when(j < n)
+    @pl.when(s < n_super)
     def _():
-        dma(jax.lax.rem(j, 2), j).wait()
+        dma(jax.lax.rem(s, 2), s).wait()
 
     out_ref[0, 0:3] = color
     out_ref[0, 3:4] = t_mask
@@ -145,7 +160,9 @@ def blend_forward_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, INSTANCE_WIDTH, k), jnp.float32),
+            pltpu.VMEM(
+                (2, cfg.dma_superblock, INSTANCE_WIDTH, k), jnp.float32
+            ),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -176,8 +193,8 @@ def _backward_kernel(
     # outputs
     grad_hbm,  # [n_blocks, 16, K] ANY (pre-zeroed via aliasing)
     # scratch
-    buf_ref,  # (2, 16, K) instance chunks in
-    gbuf_ref,  # (2, 16, K) gradient rows out
+    buf_ref,  # (2, SB, 16, K) instance superblocks in
+    gbuf_ref,  # (2, SB, 16, K) gradient rows out
     isem_ref,  # (2,) in-DMA semaphores
     osem_ref,  # (2,) out-DMA semaphores
     *,
@@ -187,6 +204,8 @@ def _backward_kernel(
     block0 = s_block0[t]
     n = s_nchunk[t]
     p = cfg.tile_pixels
+    sb = cfg.dma_superblock
+    n_super = pl.cdiv(n, sb)
     px, py = _tile_pixel_coords(t, cfg)
 
     g_color = g_ref[0, 0:3]
@@ -195,51 +214,81 @@ def _backward_kernel(
     t_final_mask = fwd_ref[0, 3:4]
     gc_total = jnp.sum(g_color * c_total, axis=0, keepdims=True)
 
-    def in_dma(slot, j):
+    def in_dma(slot, s):
         return pltpu.make_async_copy(
-            inst_hbm.at[block0 + j],
+            inst_hbm.at[pl.ds(block0 + s * sb, sb)],
             buf_ref.at[slot],
             isem_ref.at[slot],
         )
 
-    def out_dma(slot, j):
+    def out_dma(slot, jj, j):
         return pltpu.make_async_copy(
-            gbuf_ref.at[slot],
+            gbuf_ref.at[slot, jj],
             grad_hbm.at[block0 + j],
-            osem_ref.at[slot],
+            osem_ref.at[slot, jj],
         )
 
     in_dma(0, 0).start()
 
     def cond(c):
-        j, t_all, gc_pre = c
-        return (j < n) & (jnp.max(t_all) >= chunk_math.TRANSMITTANCE_EPS)
+        s, t_all, gc_pre = c
+        return (s < n_super) & (
+            jnp.max(t_all) >= chunk_math.TRANSMITTANCE_EPS
+        )
 
     def body(c):
-        j, t_all, gc_pre = c
-        slot = jax.lax.rem(j, 2)
+        s, t_all, gc_pre = c
+        slot = jax.lax.rem(s, 2)
 
-        @pl.when(j + 1 < n)
+        @pl.when(s + 1 < n_super)
         def _():
-            in_dma(1 - slot, j + 1).start()
+            in_dma(1 - slot, s + 1).start()
 
-        in_dma(slot, j).wait()
+        in_dma(slot, s).wait()
 
-        # the out-DMA that used this gbuf slot two chunks ago must land
-        # before the slot is overwritten
-        @pl.when(j >= 2)
+        # out-DMAs that used this gbuf slot (superblock s-2; all of its
+        # sub-chunks were in range, only the LAST superblock can be
+        # partial) must land before reuse
+        @pl.when(s >= 2)
         def _():
-            out_dma(slot, j - 2).wait()
+            for jj in range(sb):
+                out_dma(slot, jj, 0).wait()
 
-        grad_rows, t_all, gc_pre = chunk_math.backward_chunk(
-            buf_ref[slot].T, g_color, g_tmask, gc_total, t_final_mask,
-            t_all, gc_pre, px, py,
-        )
-        gbuf_ref[slot] = grad_rows.T
-        out_dma(slot, j).start()
-        return j + 1, t_all, gc_pre
+        for jj in range(sb):
+            j = s * sb + jj
+            in_range = j < n
+            live = in_range & (
+                jnp.max(t_all) >= chunk_math.TRANSMITTANCE_EPS
+            )
 
-    j, _t_all, _gc = jax.lax.while_loop(
+            def real(ta, gp, jj=jj):
+                gr, ta2, gp2 = chunk_math.backward_chunk(
+                    buf_ref[slot, jj].T, g_color, g_tmask, gc_total,
+                    t_final_mask, ta, gp, px, py,
+                )
+                return gr.T, ta2, gp2
+
+            def dead(ta, gp):
+                return (
+                    jnp.zeros((INSTANCE_WIDTH, cfg.chunk), jnp.float32),
+                    ta,
+                    gp,
+                )
+
+            grad_t, t_all, gc_pre = jax.lax.cond(
+                live, real, dead, t_all, gc_pre
+            )
+
+            # early-stopped in-range chunks still write (zeros): keeps the
+            # out-DMA schedule deterministic so semaphore waits match starts
+            @pl.when(in_range)
+            def _(jj=jj, j=j, grad_t=grad_t):
+                gbuf_ref[slot, jj] = grad_t
+                out_dma(slot, jj, j).start()
+
+        return s + 1, t_all, gc_pre
+
+    s_exit, _t_all, _gc = jax.lax.while_loop(
         cond,
         body,
         (
@@ -249,19 +298,19 @@ def _backward_kernel(
         ),
     )
 
-    # drain: the prefetched in-DMA on early exit, and the last (up to) two
-    # out-DMAs still in flight
-    @pl.when(j < n)
+    # drain: in-flight prefetch on early exit + out-DMAs of the last two
+    # processed superblocks (issued exactly for j < n)
+    @pl.when(s_exit < n_super)
     def _():
-        in_dma(jax.lax.rem(j, 2), j).wait()
+        in_dma(jax.lax.rem(s_exit, 2), s_exit).wait()
 
-    @pl.when(j >= 2)
-    def _():
-        out_dma(jax.lax.rem(j, 2), j - 2).wait()
-
-    @pl.when(j >= 1)
-    def _():
-        out_dma(jax.lax.rem(j - 1, 2), j - 1).wait()
+    for dq in (2, 1):
+        for jj in range(sb):
+            @pl.when(
+                (s_exit >= dq) & ((s_exit - dq) * sb + jj < n)
+            )
+            def _(dq=dq, jj=jj):
+                out_dma(jax.lax.rem(s_exit - dq, 2), jj, 0).wait()
 
 
 def blend_backward_pallas(
@@ -291,10 +340,14 @@ def blend_backward_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, INSTANCE_WIDTH, k), jnp.float32),
-            pltpu.VMEM((2, INSTANCE_WIDTH, k), jnp.float32),
+            pltpu.VMEM(
+                (2, cfg.dma_superblock, INSTANCE_WIDTH, k), jnp.float32
+            ),
+            pltpu.VMEM(
+                (2, cfg.dma_superblock, INSTANCE_WIDTH, k), jnp.float32
+            ),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, cfg.dma_superblock)),
         ],
     )
     zeros = jnp.zeros((cfg.n_blocks, INSTANCE_WIDTH, k), jnp.float32)

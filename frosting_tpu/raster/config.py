@@ -49,6 +49,11 @@ class RasterConfig:
     # Near-plane depth cull (auxiliary.h in_frustum).
     near: float = 0.2
     sh_degree: int = 3
+    # Consecutive chunks fetched per DMA by the Pallas blend kernels (the
+    # superblock): amortizes DMA issue/latency over S chunks. The instance
+    # buffer carries S-1 trailing slack blocks so the last superblock of a
+    # tile may over-read harmlessly.
+    dma_superblock: int = 4
     # Blend backend: "auto" (pallas on TPU, jax elsewhere), "pallas", "jax".
     backend: str = "auto"
     # Run Pallas kernels in interpreter mode (CPU testing of the TPU path).
@@ -89,8 +94,13 @@ class RasterConfig:
         """Static row count of the K-aligned instance buffer: capacity, plus
         up to one padding chunk per tile (every tile gets >= 1 chunk so its
         output block is always written), plus one trailing all-zero dummy
-        block that out-of-range work items point at."""
-        return self.max_instances + (self.n_tiles + 1) * self.chunk
+        block that out-of-range work items point at, plus superblock
+        over-read slack."""
+        return (
+            self.max_instances
+            + (self.n_tiles + 1) * self.chunk
+            + (self.dma_superblock - 1) * self.chunk
+        )
 
     @property
     def n_blocks(self) -> int:

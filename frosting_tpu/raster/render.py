@@ -66,8 +66,16 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
         )
     else:
         grads_inst = blend_jax.blend_backward_jax(padded, binned, out, g_out, cfg)
+    # Per-gaussian reduction WITHOUT a random scatter-add (segment_sum over
+    # the padded layout costs more than the whole blend on TPU): map padded
+    # rows back to original expansion order, where each gaussian's
+    # instances are contiguous, and reduce sorted segments.
+    grads_orig = jnp.take(grads_inst, binned.inv_map, axis=0)
     return jax.ops.segment_sum(
-        grads_inst, binned.padded_gauss, num_segments=n_ext
+        grads_orig,
+        binned.gauss_orig,
+        num_segments=n_ext,
+        indices_are_sorted=True,
     )
 
 

@@ -86,6 +86,39 @@ def main():
                 g, b.padded_gauss, num_segments=fe.shape[0]
             )
             return jnp.sum(s[:, 0]) * 1e-9
+    elif name == "segsum_sorted":
+        def f(fe, b, i):
+            g = gathered * (1 + i * 1e-12)
+            go = jnp.take(g, b.inv_map, axis=0)
+            s = jax.ops.segment_sum(
+                go, b.gauss_orig, num_segments=fe.shape[0],
+                indices_are_sorted=True,
+            )
+            return jnp.sum(s[:, 0]) * 1e-9
+    elif name == "cumsum_diff":
+        def f(fe, b, i):
+            g = gathered * (1 + i * 1e-12)
+            go = jnp.take(g, b.inv_map, axis=0)
+            pref = jnp.concatenate(
+                [jnp.zeros((1, go.shape[1])), jnp.cumsum(go, axis=0)]
+            )
+            # boundaries from gauss_orig: first occurrence index per segment
+            n_seg = fe.shape[0]
+            starts = jnp.searchsorted(
+                b.gauss_orig, jnp.arange(n_seg)
+            )
+            ends = jnp.searchsorted(
+                b.gauss_orig, jnp.arange(n_seg), side="right"
+            )
+            s = pref[ends] - pref[starts]
+            return jnp.sum(s[:, 0]) * 1e-9
+    elif name == "take_planar":
+        def f(fe, b, i):
+            fet = (fe * (1 + i * 1e-12)).T  # (16, N+1)
+            planes = [jnp.take(fet[c], b.padded_gauss) for c in range(16)]
+            p = jnp.stack(planes)  # (16, padded)
+            p3 = p.reshape(16, nb, k).swapaxes(0, 1)
+            return jnp.sum(p3[:, 0, 0]) * 1e-9
     else:
         raise SystemExit(f"unknown probe {name}")
 
