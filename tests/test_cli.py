@@ -101,3 +101,46 @@ def test_cli_tiny_pipeline(tmp_path):
 
     p = load_ply(os.path.join(base, "frosting.ply"))
     assert int(np.asarray(p.num_active())) == 4096
+
+
+def test_stage_clis(tmp_path):
+    """Per-stage CLI hand-off (the scripts/*.py analogues): train-gs ->
+    train-sugar -> extract-shell -> train-frosting -> render + metrics,
+    each a separate invocation communicating via artifacts."""
+    import json
+    import os
+
+    from frosting_tpu import stages_cli
+
+    scene_dir = str(tmp_path / "scene")
+    make_colmap_scene(scene_dir)
+    out = str(tmp_path / "out")
+    common = [
+        "-s", scene_dir, "-o", out, "--max-instances", "8192",
+        "--chunk", "32",
+    ]
+    stages_cli.main(
+        ["train-gs", *common, "--iterations", "60", "--capacity", "2048"]
+    )
+    assert os.path.exists(f"{out}/gs.ply")
+    stages_cli.main(
+        ["train-sugar", *common, "--start-iteration", "60",
+         "--iterations", "120", "--capacity", "2048"]
+    )
+    assert os.path.exists(f"{out}/sugar.ply")
+    stages_cli.main(
+        ["extract-shell", *common, "--poisson-resolution", "48",
+         "--low-poly"]
+    )
+    assert os.path.exists(f"{out}/shell.ply")
+    stages_cli.main(
+        ["train-frosting", *common, "--gaussians", "2048",
+         "--iterations", "40"]
+    )
+    assert os.path.exists(f"{out}/frosting.npz")
+    assert os.path.exists(f"{out}/frosting.ply")
+    stages_cli.main(["metrics", *common])
+    res = json.load(open(f"{out}/metrics.json"))
+    assert np.isfinite(res["psnr"])
+    stages_cli.main(["render", *common])
+    assert len(os.listdir(f"{out}/renders")) > 0
