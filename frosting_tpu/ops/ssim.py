@@ -47,12 +47,7 @@ def _depthwise_blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     )[0]
 
 
-def ssim(
-    img1: jnp.ndarray,  # [C, H, W] in [0, 1]
-    img2: jnp.ndarray,
-    window_size: int = 11,
-    sigma: float = 1.5,
-) -> jnp.ndarray:
+def _ssim_map(img1, img2, window_size, sigma):
     window = _gaussian_window(window_size, sigma)
     mu1 = _depthwise_blur(img1, window)
     mu2 = _depthwise_blur(img2, window)
@@ -61,10 +56,57 @@ def ssim(
     sigma2_sq = _depthwise_blur(img2 * img2, window) - mu2_sq
     sigma12 = _depthwise_blur(img1 * img2, window) - mu12
     c1, c2 = 0.01**2, 0.03**2
-    ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
+    return ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
     )
-    return jnp.mean(ssim_map)
+
+
+def ssim(
+    img1: jnp.ndarray,  # [C, H, W] in [0, 1]
+    img2: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    return jnp.mean(_ssim_map(img1, img2, window_size, sigma))
+
+
+def _exchange_row_halo(x: jnp.ndarray, axis_name: str, h: int) -> jnp.ndarray:
+    """[C, H, W] strip -> [C, H+2h, W] with h rows of halo from the strip
+    neighbors along `axis_name` (zeros at the image borders, matching the
+    SAME zero-padding of the full-image convolution)."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    top = x[:, :h]
+    bot = x[:, -h:]
+    # our bottom halo = the NEXT strip's top rows: every device sends its
+    # top block up by one
+    from_next = jax.lax.ppermute(
+        top, axis_name, [(i, (i - 1) % n) for i in range(n)]
+    )
+    from_prev = jax.lax.ppermute(
+        bot, axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    from_prev = jnp.where(idx == 0, 0.0, from_prev)
+    from_next = jnp.where(idx == n - 1, 0.0, from_next)
+    return jnp.concatenate([from_prev, x, from_next], axis=1)
+
+
+def ssim_strips(
+    img1: jnp.ndarray,  # [C, strip_h, W] this device's horizontal strip
+    img2: jnp.ndarray,
+    axis_name: str,
+    window_size: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """EXACT per-strip slice of the full-image SSIM, for strip-sharded
+    rendering inside shard_map: halo rows are ppermuted from the neighbor
+    strips so windows cross seams exactly as in the full-image computation;
+    the mean over strips (e.g. via psum/n) equals the full-image ssim()."""
+    h = window_size // 2
+    p1 = _exchange_row_halo(img1, axis_name, h)
+    p2 = _exchange_row_halo(img2, axis_name, h)
+    m = _ssim_map(p1, p2, window_size, sigma)
+    return jnp.mean(m[:, h:-h])
 
 
 def dssim(img1, img2, **kw):

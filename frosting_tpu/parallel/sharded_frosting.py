@@ -29,7 +29,7 @@ from frosting_tpu.models.frosting import (
     cell_corners,
 )
 from frosting_tpu.ops import quat as quat_ops
-from frosting_tpu.ops.ssim import l1_loss, psnr, ssim
+from frosting_tpu.ops.ssim import l1_loss, psnr, ssim_strips
 from frosting_tpu.raster import RasterConfig
 from frosting_tpu.raster.preprocess import preprocess, shift_projected
 from frosting_tpu.raster.render import render_projected
@@ -115,7 +115,7 @@ def make_sharded_frosting_step(
 
         ll1 = l1_loss(out.image, gt_strip)
         loss = (1.0 - cfg.lambda_dssim) * ll1 + cfg.lambda_dssim * (
-            1.0 - ssim(out.image, gt_strip)
+            1.0 - ssim_strips(out.image, gt_strip, "tile")
         )
         loss = loss / (n_data * n_tile)
         aux = (

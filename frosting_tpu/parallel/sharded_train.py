@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from frosting_tpu.cameras import Camera
-from frosting_tpu.ops.ssim import l1_loss, psnr, ssim
+from frosting_tpu.ops.ssim import l1_loss, psnr, ssim_strips
 from frosting_tpu.raster import RasterConfig
 from frosting_tpu.raster.preprocess import preprocess, shift_projected
 from frosting_tpu.raster.render import render_projected
@@ -115,16 +115,13 @@ def make_sharded_train_step(
         proj = proj._replace(means2d=proj.means2d + probe)
 
         out = render_projected(proj, s_cfg, bg=bg)
-        # Strip losses: L1 exact (pixel mean decomposes over strips); SSIM
-        # per-strip then averaged (windowed stats don't cross strip seams —
-        # a documented deviation of the sharded loss).
+        # Strip losses, EXACT: L1 decomposes over strips; SSIM windows
+        # cross strip seams via halo exchange (ssim_strips), so the psum
+        # mean equals the full-image objective.
         ll1 = l1_loss(out.image, gt_strip)
         loss = (1.0 - cfg.lambda_dssim) * ll1 + cfg.lambda_dssim * (
-            1.0 - ssim(out.image, gt_strip)
+            1.0 - ssim_strips(out.image, gt_strip, "tile")
         )
-        # Normalize so the psum over (data, tile) equals the batch-mean of
-        # per-image losses (strip L1s average to the image L1; D-SSIM is the
-        # mean of per-strip values).
         loss = loss / (n_data * n_tile)
         aux = (out.radii, out.num_instances, out.overflow,
                psnr(jnp.clip(out.image, 0, 1), gt_strip))
