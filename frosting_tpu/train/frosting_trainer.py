@@ -308,8 +308,19 @@ def train(
                 "iter": it,
                 "loss": float(aux["loss"]),
                 "psnr": float(aux["psnr"]),
+                # checked at log cadence only (a per-step host read would
+                # pay the dispatch round-trip every iteration)
+                "overflow": bool(aux["overflow"]),
                 "iters_per_s": cfg.log_every / max(time.time() - t0, 1e-9),
             }
+            if m["overflow"] and log_fn:
+                # capacity overflow silently CLIPS rendering; at 2M+
+                # gaussians this must be surfaced, not ignored
+                log_fn(
+                    f"[frosting] WARNING it {it}: instance capacity "
+                    f"overflow (max_instances={rcfg.max_instances}) — "
+                    "rendering clipped, raise RasterConfig.max_instances"
+                )
             t0 = time.time()
             history.append(m)
             if log_fn:
