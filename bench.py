@@ -71,13 +71,31 @@ def main():
 
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
+    @jax.jit
+    def bench_fwd(means, scales, quats, opac, sh, camera, salt):
+        def body(i, acc):
+            opac_i = jnp.clip(
+                opac + 0.001 * i.astype(jnp.float32) + salt, 0, 1
+            )
+            out = render(means, scales, quats, opac_i, sh, camera, cfg)
+            return acc + jnp.sum(out.image)
+
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
     r = float(bench_prog(*gs, cam, target, 0.0))  # compile + 1st run
     t0 = time.time()
     r = float(bench_prog(*gs, cam, target, 0.017))  # distinct inputs
     dt = time.time() - t0
     assert np.isfinite(r)
-
     mpix_s = 512 * 512 * iters / dt / 1e6
+
+    rf = float(bench_fwd(*gs, cam, 0.0))
+    t0 = time.time()
+    rf = float(bench_fwd(*gs, cam, 0.013))
+    dtf = time.time() - t0
+    assert np.isfinite(rf)
+    fwd_mpix_s = 512 * 512 * iters / dtf / 1e6
+
     print(
         json.dumps(
             {
@@ -85,6 +103,10 @@ def main():
                 "value": round(mpix_s, 3),
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
+                "extra": {
+                    "fwd_only_mpix_s": round(fwd_mpix_s, 2),
+                    "fwd_only_fps": round(fwd_mpix_s * 1e6 / (512 * 512), 1),
+                },
             }
         )
     )

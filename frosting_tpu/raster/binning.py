@@ -47,6 +47,7 @@ class Binned(NamedTuple):
     inv_map: jnp.ndarray  # [max_instances] padded row of orig instance i
     gauss_orig: jnp.ndarray  # [max_instances] gaussian id of orig instance i
     #                          (= N sentinel for i >= num_instances)
+    gauss_bounds: jnp.ndarray  # [N+1] orig-order segment bounds per gaussian
     n_work: jnp.ndarray  # [] number of real work items
     num_instances: jnp.ndarray  # [] pre-clamp instance count
     overflow: jnp.ndarray  # [] bool, true if max_instances exceeded
@@ -208,6 +209,9 @@ def bin_gaussians(
         tile_nchunks=n_chunks.astype(i32),
         inv_map=inv_map,
         gauss_orig=inst_gauss,
+        gauss_bounds=jnp.concatenate(
+            [jnp.zeros((1,), i32), jnp.minimum(cum, cap).astype(i32)]
+        ),
         n_work=n_work,
         num_instances=total,
         overflow=overflow,
