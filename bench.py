@@ -41,9 +41,28 @@ def main():
         jnp.asarray(a, jnp.float32) for a in (means, scales, quats, opac, sh)
     )
     cam = look_at_camera(eye=[0.0, 0.0, -3.0], target=[0.0, 0.0, 0.0])
-    # chunk=128 measured ~10% faster than 64 at this shape (PERF_NOTES.md)
+    # chunk=128 measured ~10% faster than 64 at this shape (PERF_NOTES.md).
+    # Capacity is auto-tuned from a calibration view, as a production
+    # deployment would (every capacity-proportional cost — instance
+    # gather, backward reduction, zero-init — scales with the bound).
+    from frosting_tpu.raster.render import (
+        autotune_max_instances,
+        count_instances,
+    )
+
+    probe_cfg = RasterConfig(
+        width=512, height=512, chunk=128, max_instances=1 << 21,
+        backend="auto",
+    )
+    n_inst = int(
+        jax.jit(
+            lambda g, c: count_instances(*g, c, probe_cfg)
+        )(gs, cam)
+    )
     cfg = RasterConfig(
-        width=512, height=512, chunk=128, max_instances=1 << 20, backend="auto"
+        width=512, height=512, chunk=128,
+        max_instances=autotune_max_instances(n_inst, 128),
+        backend="auto",
     )
     target = jnp.zeros((3, 512, 512), jnp.float32)
 

@@ -320,8 +320,10 @@ def blend_backward_pallas(
     g_out: jnp.ndarray,  # [n_tiles, 4, P]
     cfg: RasterConfig,
 ) -> jnp.ndarray:
-    """Returns per-instance gradient rows [padded_rows, 16]. Rows of chunks
-    skipped by early termination are zero (they contributed nothing)."""
+    """Returns per-instance gradients in BLOCK layout [n_blocks, 16, K]
+    (lane-compact; a [padded_rows, 16] layout would be 8x physically
+    inflated by lane padding). Chunks skipped by early termination are
+    zero (they contributed nothing)."""
     p = cfg.tile_pixels
     k = cfg.chunk
 
@@ -351,7 +353,7 @@ def blend_backward_pallas(
         ],
     )
     zeros = jnp.zeros((cfg.n_blocks, INSTANCE_WIDTH, k), jnp.float32)
-    grads3 = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_backward_kernel, cfg=cfg),
         out_shape=jax.ShapeDtypeStruct(
             (cfg.n_blocks, INSTANCE_WIDTH, k), jnp.float32
@@ -373,4 +375,3 @@ def blend_backward_pallas(
         out_fwd,
         g_out,
     )
-    return grads3.swapaxes(1, 2).reshape(cfg.padded_rows, INSTANCE_WIDTH)

@@ -39,14 +39,16 @@ def _float0_like(x):
 def _gather_padded(fields_ext, binned: Binned, cfg: RasterConfig):
     """Instance gather, done ONCE per step (the [padded_rows]-row gather is
     as expensive as the whole blend kernel; forward and backward share it
-    via the custom-VJP residuals). Pallas uses the DMA-aligned block
-    layout, the JAX twin the flat row layout."""
-    padded = jnp.take(fields_ext, binned.padded_gauss, axis=0)
+    via the custom-VJP residuals). Pallas gathers in the lane-compact
+    (16, rows) layout — a [rows, 16] intermediate would be 8x physically
+    inflated — then reshapes into the DMA-aligned block layout; the JAX
+    twin uses the flat row layout."""
     if cfg_backend(cfg) == "pallas":
-        from frosting_tpu.raster import blend_pallas
-
-        return blend_pallas.to_block_layout(padded, cfg)
-    return padded
+        w = fields_ext.shape[1]
+        fields_t = fields_ext.T  # [16, N+1]
+        padded_t = jnp.take(fields_t, binned.padded_gauss, axis=1)
+        return padded_t.reshape(w, cfg.n_blocks, cfg.chunk).swapaxes(0, 1)
+    return jnp.take(fields_ext, binned.padded_gauss, axis=0)
 
 
 def _blend_impl(padded, binned: Binned, cfg: RasterConfig):
@@ -58,33 +60,71 @@ def _blend_impl(padded, binned: Binned, cfg: RasterConfig):
 
 
 def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
+    # Per-gaussian reduction WITHOUT a scatter-add: segment_sum lowers to
+    # an XLA scatter that costs more than the entire blend on TPU (~17 ms
+    # at 1M rows), and indices_are_sorted changes nothing. Instead map
+    # instance gradients back to ORIGINAL expansion order (each gaussian's
+    # instances are contiguous there, binning.inv_map) and reduce the
+    # contiguous segments as prefix-sum differences. On the pallas backend
+    # everything stays in lane-compact (16, rows) layouts — a
+    # [rows, 16] array is 8x physically inflated by lane padding, so one
+    # relayout of the 1M-row buffer costs more than the math.
+    b = binned.gauss_bounds  # [N+1]
     if cfg_backend(cfg) == "pallas":
         from frosting_tpu.raster import blend_pallas
 
-        grads_inst = blend_pallas.blend_backward_pallas(
+        grads3 = blend_pallas.blend_backward_pallas(
+            padded, binned, out, g_out, cfg
+        )  # [n_blocks, 16, K]
+        w = grads3.shape[1]
+        grads_t = grads3.swapaxes(0, 1).reshape(w, cfg.padded_rows)
+        grads_orig_t = jnp.take(grads_t, binned.inv_map, axis=1)  # [16, cap]
+        prefix_t = jnp.concatenate(
+            [
+                jnp.zeros((w, 1), grads_orig_t.dtype),
+                jnp.cumsum(grads_orig_t, axis=1),
+            ],
+            axis=1,
+        )
+        rows = (prefix_t[:, b[1:]] - prefix_t[:, b[:-1]]).T  # [N, 16]
+    else:
+        grads_inst = blend_jax.blend_backward_jax(
             padded, binned, out, g_out, cfg
         )
-    else:
-        grads_inst = blend_jax.blend_backward_jax(padded, binned, out, g_out, cfg)
-    # Per-gaussian reduction WITHOUT a scatter-add: segment_sum lowers to an
-    # XLA scatter that costs more than the entire blend on TPU (~17 ms at
-    # 1M rows), and indices_are_sorted changes nothing. Instead map padded
-    # rows back to ORIGINAL expansion order (each gaussian's instances are
-    # contiguous there, binning.inv_map), then reduce contiguous segments
-    # as prefix-sum differences — one cumsum + two small row gathers.
-    grads_orig = jnp.take(grads_inst, binned.inv_map, axis=0)
-    prefix = jnp.concatenate(
-        [
-            jnp.zeros((1, grads_orig.shape[1]), grads_orig.dtype),
-            jnp.cumsum(grads_orig, axis=0),
-        ]
-    )
-    b = binned.gauss_bounds  # [N+1]
-    rows = prefix[b[1:]] - prefix[b[:-1]]  # [N, 16]
+        grads_orig = jnp.take(grads_inst, binned.inv_map, axis=0)
+        prefix = jnp.concatenate(
+            [
+                jnp.zeros((1, grads_orig.shape[1]), grads_orig.dtype),
+                jnp.cumsum(grads_orig, axis=0),
+            ]
+        )
+        rows = prefix[b[1:]] - prefix[b[:-1]]  # [N, 16]
     # sentinel row (the zero row appended by pack_fields) gets zero grads
     return jnp.concatenate(
         [rows, jnp.zeros((n_ext - rows.shape[0], rows.shape[1]))]
     )
+
+
+def count_instances(
+    means3d, scales, quats, opacities, sh, camera, cfg: RasterConfig
+) -> int:
+    """Instance count of one view (preprocess + bin only) — for capacity
+    auto-tuning."""
+    proj = preprocess(means3d, scales, quats, opacities, sh, camera, cfg)
+    binned = bin_gaussians(proj.rect, proj.depths, proj.valid, cfg)
+    return binned.num_instances
+
+
+def autotune_max_instances(
+    n_instances: int, chunk: int, safety: float = 1.7, minimum: int = 1 << 16
+) -> int:
+    """Pick max_instances from a measured per-view instance count. Every
+    capacity-proportional cost (instance gather, layout, backward
+    reduction, zero-init) scales with this static bound, so sizing it to
+    the scene instead of a worst-case constant is a real speedup; the
+    overflow flag still guards against under-sizing."""
+    cap = max(minimum, int(n_instances * safety))
+    return -(-cap // chunk) * chunk
 
 
 def cfg_backend(cfg: RasterConfig) -> str:

@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--tile-h", type=int, default=0)
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--max-instances", type=int, default=1 << 20)
+    ap.add_argument("--autotune-cap", action="store_true")
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--mode", choices=["fwd", "fwdbwd"], default="fwdbwd")
     ap.add_argument("--iters", type=int, default=10)
@@ -55,6 +56,20 @@ def main():
         max_instances=args.max_instances,
         backend="auto",
     )
+    if args.autotune_cap:
+        from frosting_tpu.raster.render import (
+            autotune_max_instances,
+            count_instances,
+        )
+
+        n_inst = int(
+            jax.jit(lambda g, c: count_instances(*g, c, cfg))(gs, cam)
+        )
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg, max_instances=autotune_max_instances(n_inst, args.chunk)
+        )
     target = jnp.zeros((3, args.height, args.width), jnp.float32)
     iters = args.iters
 
