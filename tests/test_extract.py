@@ -98,3 +98,83 @@ def test_shell_extraction_on_gaussian_sphere():
     assert 0.8 < np.median(r) < 1.35, np.median(r)
     sp = aux["surface_points"]
     assert len(sp) > 2000
+
+
+def test_auto_poisson_resolution():
+    """Auto depth heuristic (coarse_shell.py:17-49): denser clouds get
+    finer grids, capped at max."""
+    from frosting_tpu.extract.shell import auto_poisson_resolution
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(20_000, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    sparse = d[:500]
+    res_sparse = auto_poisson_resolution(sparse, max_resolution=256)
+    res_dense = auto_poisson_resolution(d, max_resolution=256)
+    assert res_dense >= res_sparse
+    assert 64 <= res_dense <= 256
+    assert (res_dense & (res_dense - 1)) == 0  # power of two
+
+
+def test_quantile_vertex_cleaning():
+    """Vertices far from the support cloud (hallucinated geometry) are
+    removed; well-supported vertices survive (coarse_shell.py:466-506)."""
+    from frosting_tpu.extract import meshclean
+    from tests.test_mesh import icosphere
+
+    v, f = icosphere(3)
+    # support: the sphere surface; append a far-away blob of mesh verts
+    far = v[:30] * 3.0
+    verts = np.concatenate([v, far])
+    faces = np.concatenate(
+        [f, np.arange(len(v), len(v) + 30).reshape(10, 3)]
+    )
+    v2, f2 = meshclean.remove_unsupported_vertices(
+        verts, faces, v, quantile=30 / len(verts) + 0.01
+    )
+    r = np.linalg.norm(v2, axis=1)
+    assert r.max() < 1.5  # far blob gone
+    assert len(v2) >= len(v) * 0.95  # surface kept
+
+
+def test_fg_bg_split_extraction():
+    """fg_split extracts both a foreground object and distant background
+    geometry as separate Poisson halves merged into one mesh
+    (coarse_shell.py:382-524)."""
+    import jax.numpy as jnp
+
+    from frosting_tpu.extract.shell import ShellConfig, extract_shell
+    from frosting_tpu.scene import synthetic
+
+    rng = np.random.default_rng(0)
+    # fg sphere at origin + bg wall far outside the camera bbox
+    n1, n2 = 1200, 800
+    d = rng.normal(size=(n1, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    wall = np.stack(
+        [rng.uniform(-6, 6, n2), rng.uniform(-6, 6, n2), np.full(n2, 7.0)], 1
+    )
+    means = jnp.asarray(np.concatenate([d, wall]), jnp.float32)
+    scales = jnp.full((n1 + n2, 3), 0.09, jnp.float32)
+    quats = jnp.asarray(
+        np.concatenate([np.ones((n1 + n2, 1)), np.zeros((n1 + n2, 3))], 1),
+        jnp.float32,
+    )
+    opac = jnp.full((n1 + n2,), 0.92, jnp.float32)
+    cams = synthetic.camera_ring(n_cams=6, radius=3.0)
+    from frosting_tpu.raster import RasterConfig
+
+    rcfg = RasterConfig(
+        width=64, height=64, chunk=32, max_instances=16384, backend="jax"
+    )
+    verts, faces, _aux = extract_shell(
+        means, scales, quats, opac, cams, rcfg,
+        ShellConfig(
+            poisson_resolution=48, target_vertices=4000, knn_k=8,
+            fg_split=True, cleaning_quantile=0.05,
+            visibility_threshold=None,  # keep both components
+        ),
+    )
+    # both the near sphere and some distant geometry must be in the mesh...
+    r = np.linalg.norm(np.asarray(verts), axis=1)
+    assert (r < 1.5).sum() > 100  # fg sphere present
