@@ -15,11 +15,12 @@ from frosting_tpu.raster.config import RasterConfig
 
 
 def _pixel_coords(px0, py0, cfg: RasterConfig):
-    """Flat (1, P) pixel-center coordinates for a tile at origin (px0, py0)."""
+    """(P, 1) pixel-center coordinate columns for a tile at (px0, py0)
+    (P-major orientation, matching chunk_math)."""
     p = cfg.tile_pixels
-    lane = jnp.arange(p, dtype=jnp.int32)
-    px = (px0 + lane % cfg.tile_w).astype(jnp.float32)[None, :]
-    py = (py0 + lane // cfg.tile_w).astype(jnp.float32)[None, :]
+    sub = jnp.arange(p, dtype=jnp.int32)
+    px = (px0 + sub % cfg.tile_w).astype(jnp.float32)[:, None]
+    py = (py0 + sub // cfg.tile_w).astype(jnp.float32)[:, None]
     return px, py
 
 
@@ -53,9 +54,9 @@ def blend_forward_jax(
         color = jnp.where(first == 1, jnp.zeros_like(color), color)
         px, py = _pixel_coords(px0, py0, cfg)
         t_all, t_mask, color = chunk_math.forward_chunk(
-            fields, t_all, t_mask, color, px, py
+            fields.T, t_all, t_mask, color, px, py
         )
-        tile_out = jnp.concatenate([color, t_mask], axis=0)  # (4, P)
+        tile_out = jnp.concatenate([color.T, t_mask.T], axis=0)  # (4, P)
         # branchless conditional write (lax.cond breaks under shard_map's
         # varying-manual-axes tracking)
         cur = jax.lax.dynamic_slice(out, (out_row, 0, 0), (1, 4, p))
@@ -65,9 +66,9 @@ def blend_forward_jax(
 
     init = (
         out,
-        jnp.ones((1, p), jnp.float32) + taint,
-        jnp.ones((1, p), jnp.float32) + taint,
-        jnp.zeros((3, p), jnp.float32) + taint,
+        jnp.ones((p, 1), jnp.float32) + taint,
+        jnp.ones((p, 1), jnp.float32) + taint,
+        jnp.zeros((p, 3), jnp.float32) + taint,
     )
     xs = (binned.work_block, binned.work_meta, binned.work_pxy)
     (out, _, _, _), _ = jax.lax.scan(body, init, xs)
@@ -102,23 +103,25 @@ def blend_backward_jax(
         gc_pre = jnp.where(first == 1, jnp.zeros_like(gc_pre), gc_pre)
         g_tile = jax.lax.dynamic_slice(g_out, (out_row, 0, 0), (1, 4, p))[0]
         f_tile = jax.lax.dynamic_slice(out_fwd, (out_row, 0, 0), (1, 4, p))[0]
-        g_color = g_tile[:3]
-        g_tmask = g_tile[3:4]
-        c_total = f_tile[:3]
-        t_final_mask = f_tile[3:4]
-        gc_total = jnp.sum(g_color * c_total, axis=0, keepdims=True)
+        g_color = g_tile[:3].T  # (P, 3)
+        g_tmask = g_tile[3:4].T
+        c_total = f_tile[:3].T
+        t_final_mask = f_tile[3:4].T
+        gc_total = jnp.sum(g_color * c_total, axis=1, keepdims=True)
         px, py = _pixel_coords(px0, py0, cfg)
         grad_rows, t_all, gc_pre = chunk_math.backward_chunk(
-            fields, g_color, g_tmask, gc_total, t_final_mask,
+            fields.T, g_color, g_tmask, gc_total, t_final_mask,
             t_all, gc_pre, px, py,
         )
-        grads = jax.lax.dynamic_update_slice(grads, grad_rows, (block * k, 0))
+        grads = jax.lax.dynamic_update_slice(
+            grads, grad_rows.T, (block * k, 0)
+        )
         return (grads, t_all, gc_pre), None
 
     init = (
         grads,
-        jnp.ones((1, p), jnp.float32) + taint,
-        jnp.zeros((1, p), jnp.float32) + taint,
+        jnp.ones((p, 1), jnp.float32) + taint,
+        jnp.zeros((p, 1), jnp.float32) + taint,
     )
     xs = (binned.work_block, binned.work_meta, binned.work_pxy)
     (grads, _, _), _ = jax.lax.scan(body, init, xs)

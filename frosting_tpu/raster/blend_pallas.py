@@ -34,13 +34,14 @@ from frosting_tpu.raster.config import INSTANCE_WIDTH, RasterConfig
 
 
 def _tile_pixel_coords(t, cfg: RasterConfig):
-    """(1, P) pixel-center coordinates of tile `t` (traced scalar)."""
+    """(P, 1) pixel-center coordinate columns of tile `t` (traced scalar);
+    P-major orientation matches chunk_math (pixels on sublanes)."""
     p = cfg.tile_pixels
     px0 = jax.lax.rem(t, cfg.tiles_x) * cfg.tile_w
     py0 = jax.lax.div(t, cfg.tiles_x) * cfg.tile_h
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    px = (px0 + lane % cfg.tile_w).astype(jnp.float32)
-    py = (py0 + lane // cfg.tile_w).astype(jnp.float32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (px0 + sub % cfg.tile_w).astype(jnp.float32)
+    py = (py0 + sub // cfg.tile_w).astype(jnp.float32)
     return px, py
 
 
@@ -104,8 +105,8 @@ def _forward_kernel(
             )
             t_all, t_mask, color = jax.lax.cond(
                 live,
-                lambda ta, tm, co: chunk_math.forward_chunk(
-                    buf_ref[slot, jj].T, ta, tm, co, px, py
+                lambda ta, tm, co, jj=jj: chunk_math.forward_chunk(
+                    buf_ref[slot, jj], ta, tm, co, px, py
                 ),
                 lambda ta, tm, co: (ta, tm, co),
                 t_all, t_mask, color,
@@ -117,9 +118,9 @@ def _forward_kernel(
         body,
         (
             jnp.int32(0),
-            jnp.ones((1, p), jnp.float32),
-            jnp.ones((1, p), jnp.float32),
-            jnp.zeros((3, p), jnp.float32),
+            jnp.ones((p, 1), jnp.float32),
+            jnp.ones((p, 1), jnp.float32),
+            jnp.zeros((p, 3), jnp.float32),
         ),
     )
 
@@ -128,8 +129,10 @@ def _forward_kernel(
     def _():
         dma(jax.lax.rem(s, 2), s).wait()
 
-    out_ref[0, 0:3] = color
-    out_ref[0, 3:4] = t_mask
+    # one small transpose per TILE (the P-major math is transpose-free
+    # per chunk)
+    out_ref[0, 0:3] = color.T
+    out_ref[0, 3:4] = t_mask.T
 
 
 def to_block_layout(padded_fields: jnp.ndarray, cfg: RasterConfig):
@@ -208,11 +211,11 @@ def _backward_kernel(
     n_super = pl.cdiv(n, sb)
     px, py = _tile_pixel_coords(t, cfg)
 
-    g_color = g_ref[0, 0:3]
-    g_tmask = g_ref[0, 3:4]
-    c_total = fwd_ref[0, 0:3]
-    t_final_mask = fwd_ref[0, 3:4]
-    gc_total = jnp.sum(g_color * c_total, axis=0, keepdims=True)
+    g_color = g_ref[0, 0:3].T  # (P, 3)
+    g_tmask = g_ref[0, 3:4].T  # (P, 1)
+    c_total = fwd_ref[0, 0:3].T
+    t_final_mask = fwd_ref[0, 3:4].T
+    gc_total = jnp.sum(g_color * c_total, axis=1, keepdims=True)
 
     def in_dma(slot, s):
         return pltpu.make_async_copy(
@@ -262,11 +265,10 @@ def _backward_kernel(
             )
 
             def real(ta, gp, jj=jj):
-                gr, ta2, gp2 = chunk_math.backward_chunk(
-                    buf_ref[slot, jj].T, g_color, g_tmask, gc_total,
+                return chunk_math.backward_chunk(
+                    buf_ref[slot, jj], g_color, g_tmask, gc_total,
                     t_final_mask, ta, gp, px, py,
                 )
-                return gr.T, ta2, gp2
 
             def dead(ta, gp):
                 return (
@@ -293,8 +295,8 @@ def _backward_kernel(
         body,
         (
             jnp.int32(0),
-            jnp.ones((1, p), jnp.float32),
-            jnp.zeros((1, p), jnp.float32),
+            jnp.ones((p, 1), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32),
         ),
     )
 

@@ -3,21 +3,30 @@ the Pallas TPU kernels.
 
 The CUDA renderer composites front-to-back with a per-pixel sequential loop
 and early termination (renderCUDA, forward.cu:261-374). On TPU we process K
-Gaussians at a time against a whole pixel tile: the in-chunk transmittance
-recurrence becomes a strictly-lower-triangular (K,K) matmul of log(1-alpha)
-terms (MXU work), and per-pixel "done" semantics are reproduced exactly with
-two carried transmittances:
+Gaussians at a time against a whole pixel tile.
 
-  t_all  = prod over ALL seen alphas      — drives the stop test; monotone,
-           so once T*(1-a) < eps fails it fails forever (== done flag).
-  t_mask = prod over CONTRIBUTING alphas  — freezes at the stop, exactly the
-           reference's final_T used for background compositing.
+ORIENTATION (deliberate, hardware-driven): arrays are (P, K) — pixels on
+sublanes, gaussians on LANES. The instance buffer arrives as (16, K)
+component rows, so per-gaussian scalars are direct (1, K) row slices that
+broadcast against (P, 1) pixel columns with ZERO relayouts (the previous
+(K, P) orientation required a (16,K)->(K,16) transpose per chunk), and the
+backward's per-gaussian reductions land directly in the (16, K) gradient
+block layout the out-DMA wants.
 
-The backward re-walks chunks in the same forward order using the suffix trick
-dL/da_k = u_k*T_k - gS_k/(1-a_k): the suffix color term gS is recovered from
-the saved total (gS = g.C_total - g.C_prefix), replacing the reference's
-back-to-front accum_rec recurrence (backward.cu:400-557) and its atomics with
-per-instance gradient rows reduced by a segment-sum.
+The in-chunk transmittance recurrence is a Hillis-Steele scan along lanes;
+per-pixel "done" semantics are reproduced exactly with two carried
+transmittances:
+
+  t_all  (P,1) = prod over ALL seen alphas   — drives the stop test;
+          monotone, so once T*(1-a) < eps fails it fails forever.
+  t_mask (P,1) = prod over CONTRIBUTING alphas — freezes at the stop,
+          exactly the reference's final_T used for background compositing.
+
+The backward re-walks chunks in forward order using the suffix trick
+dL/da_k = u_k*T_k - gS_k/(1-a_k): the suffix color term gS is recovered
+from the saved total (gS = g.C_total - g.C_prefix), replacing the
+reference's back-to-front accum_rec recurrence (backward.cu:400-557) and
+its atomics with per-instance gradient rows reduced outside.
 """
 
 from __future__ import annotations
@@ -30,77 +39,80 @@ import jax.numpy as jnp
 from frosting_tpu.raster.config import (
     ALPHA_CLAMP,
     ALPHA_CUTOFF,
+    INSTANCE_WIDTH,
     TRANSMITTANCE_EPS,
 )
 
 
-def _shift_down(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
-    """Shift rows down by s along axis 0, filling the top with `fill`."""
+def _shift_right(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
+    """Shift columns right by s along axis 1 (lanes), filling with `fill`."""
     return jnp.concatenate(
-        [jnp.full((s,) + x.shape[1:], fill, x.dtype), x[:-s]], axis=0
+        [jnp.full(x.shape[:1] + (s,), fill, x.dtype), x[:, :-s]], axis=1
     )
 
 
 def cumprod_excl(x: jnp.ndarray) -> jnp.ndarray:
-    """Exclusive cumulative product along axis 0 via a Hillis-Steele scan
+    """Exclusive cumulative product along axis 1 via a Hillis-Steele scan
     (log2(K) shifted multiplies). Linear-space, exactly the sequential
     product recurrence of renderCUDA — no log/exp round-trip."""
-    k = x.shape[0]
+    k = x.shape[1]
     y = x
     s = 1
     while s < k:
-        y = y * _shift_down(y, s, 1.0)
+        y = y * _shift_right(y, s, 1.0)
         s *= 2
-    return _shift_down(y, 1, 1.0)
+    return _shift_right(y, 1, 1.0)
 
 
 def tree_prod(x: jnp.ndarray) -> jnp.ndarray:
-    """Product along axis 0 -> (1, P) via halving tree (Mosaic has no
+    """Product along axis 1 -> (P, 1) via halving tree (Mosaic has no
     reduce_prod lowering)."""
-    k = x.shape[0]
+    k = x.shape[1]
     while k > 1:
         half = k // 2
-        x = x[:half] * x[half : 2 * half] if 2 * half == k else (
-            jnp.concatenate([x[:half] * x[half : 2 * half], x[2 * half :]], 0)
+        x = x[:, :half] * x[:, half : 2 * half] if 2 * half == k else (
+            jnp.concatenate(
+                [x[:, :half] * x[:, half : 2 * half], x[:, 2 * half :]], 1
+            )
         )
-        k = x.shape[0]
+        k = x.shape[1]
     return x
 
 
 def cumsum_incl(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumulative sum along axis 0 (Hillis-Steele)."""
-    k = x.shape[0]
+    """Inclusive cumulative sum along axis 1 (Hillis-Steele)."""
+    k = x.shape[1]
     y = x
     s = 1
     while s < k:
-        y = y + _shift_down(y, s, 0.0)
+        y = y + _shift_right(y, s, 0.0)
         s *= 2
     return y
 
 
 class ChunkCommon(NamedTuple):
-    alpha: jnp.ndarray  # (K, P)
-    raw: jnp.ndarray  # (K, P) opacity * exp(power), pre-clamp
-    one_minus: jnp.ndarray  # (K, P) 1 - alpha
-    t_before: jnp.ndarray  # (K, P)
-    m: jnp.ndarray  # (K, P) contribution mask (bool)
-    w: jnp.ndarray  # (K, P) blend weights
-    power: jnp.ndarray  # (K, P)
-    dx: jnp.ndarray  # (K, P)
-    dy: jnp.ndarray  # (K, P)
+    alpha: jnp.ndarray  # (P, K)
+    raw: jnp.ndarray  # (P, K) opacity * exp(power), pre-clamp
+    one_minus: jnp.ndarray  # (P, K) 1 - alpha
+    t_before: jnp.ndarray  # (P, K)
+    m: jnp.ndarray  # (P, K) contribution mask (bool)
+    w: jnp.ndarray  # (P, K) blend weights
+    power: jnp.ndarray  # (P, K)
+    dx: jnp.ndarray  # (P, K)
+    dy: jnp.ndarray  # (P, K)
 
 
 def _chunk_common(fields, t_all, px, py) -> ChunkCommon:
-    """Shared forward recomputation. fields (K, 16) f32; t_all (1, P);
-    px, py (1, P) pixel-center coordinates."""
-    mx = fields[:, 0:1]
-    my = fields[:, 1:2]
-    ca = fields[:, 2:3]
-    cb = fields[:, 3:4]
-    cc = fields[:, 4:5]
-    op = fields[:, 5:6]
+    """Shared forward recomputation. fields (16, K) f32 component rows;
+    t_all (P, 1); px, py (P, 1) pixel-center coordinates."""
+    mx = fields[0:1, :]  # (1, K)
+    my = fields[1:2, :]
+    ca = fields[2:3, :]
+    cb = fields[3:4, :]
+    cc = fields[4:5, :]
+    op = fields[5:6, :]
 
-    dx = mx - px  # (K, P)
+    dx = mx - px  # (P, K)
     dy = my - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     raw = op * jnp.exp(power)
@@ -119,57 +131,58 @@ def _chunk_common(fields, t_all, px, py) -> ChunkCommon:
 def forward_chunk(fields, t_all, t_mask, color, px, py):
     """One chunk of the forward blend.
 
-    Args: fields (K,16); t_all, t_mask (1,P); color (3,P); px, py (1,P).
+    Args: fields (16, K); t_all, t_mask (P, 1); color (P, 3); px, py (P, 1).
     Returns updated (t_all, t_mask, color).
     """
     c = _chunk_common(fields, t_all, px, py)
-    cols = fields[:, 6:9]  # (K, 3)
-    color = color + jax_dot_kp(cols, c.w)
+    cols = fields[6:9, :]  # (3, K)
+    color = color + dot_pk(c.w, cols)
     t_all = t_all * tree_prod(c.one_minus)
     t_mask = t_mask * tree_prod(jnp.where(c.m, c.one_minus, 1.0))
     return t_all, t_mask, color
 
 
-def jax_dot_kp(cols, w):
-    """(K, C) x (K, P) -> (C, P), contracting K on the MXU."""
+def dot_pk(w, cols):
+    """(P, K) x (C, K) -> (P, C), contracting K on the MXU."""
     return jax.lax.dot_general(
-        cols,
         w,
-        (((0,), (0,)), ((), ())),
+        cols,
+        (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
 
 
 def backward_chunk(
-    fields,  # (K, 16)
-    g_color,  # (3, P) dL/dC for this tile
-    g_tmask,  # (1, P) dL/dT_final
-    gc_total,  # (1, P) sum_ch g_color * C_total (precomputed per tile)
-    t_final_mask,  # (1, P) saved final masked transmittance
-    t_all,  # (1, P) carried
-    gc_pre,  # (1, P) carried sum_ch g_color * C_prefix
+    fields,  # (16, K)
+    g_color,  # (P, 3) dL/dC for this tile
+    g_tmask,  # (P, 1) dL/dT_final
+    gc_total,  # (P, 1) sum_ch g_color * C_total (precomputed per tile)
+    t_final_mask,  # (P, 1) saved final masked transmittance
+    t_all,  # (P, 1) carried
+    gc_pre,  # (P, 1) carried sum_ch g_color * C_prefix
     px,
     py,
 ):
     """One chunk of the backward blend (forward-order re-walk).
 
-    Returns (grad_rows (K,16), t_all', gc_pre').
+    Returns (grad_rows (16, K), t_all', gc_pre').
     """
     c = _chunk_common(fields, t_all, px, py)
-    cols = fields[:, 6:9]
-    op = fields[:, 5:6]
+    cols = fields[6:9, :]  # (3, K)
+    op = fields[5:6, :]
 
-    # u_k = sum_ch color_k,ch * g_ch  : (K, P)
-    u = jnp.dot(
-        cols,
+    # u_pk = sum_ch g_color_pc * color_kc : (P, K)
+    u = jax.lax.dot_general(
         g_color,
+        cols,
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    contrib = u * c.w  # (K, P)
+    contrib = u * c.w  # (P, K)
     cum_incl = cumsum_incl(contrib)
-    g_suffix = gc_total - (gc_pre + cum_incl)  # (K, P)
+    g_suffix = gc_total - (gc_pre + cum_incl)  # (P, K)
 
     one_minus = c.one_minus
     inv_om = 1.0 / one_minus
@@ -186,34 +199,35 @@ def backward_chunk(
     dop_pix = jnp.where(live & not_clamped, dalpha * g_exp, 0.0)
     dpower = jnp.where(live & not_clamped, dalpha * c.alpha, 0.0)
 
-    ca = fields[:, 2:3]
-    cb = fields[:, 3:4]
-    cc = fields[:, 4:5]
+    ca = fields[2:3, :]
+    cb = fields[3:4, :]
+    cc = fields[4:5, :]
     ddx = dpower * (-(ca * c.dx + cb * c.dy))
     ddy = dpower * (-(cc * c.dy + cb * c.dx))
 
-    dmx = jnp.sum(ddx, axis=1)
-    dmy = jnp.sum(ddy, axis=1)
-    dca = jnp.sum(dpower * (-0.5) * c.dx * c.dx, axis=1)
-    dcb = jnp.sum(dpower * (-c.dx * c.dy), axis=1)
-    dcc = jnp.sum(dpower * (-0.5) * c.dy * c.dy, axis=1)
-    dop = jnp.sum(dop_pix, axis=1)
-    # dL/dcolor_k = sum_p w_kp g_chp : (K,P)@(P,3)... via dot_general
+    # per-gaussian reductions over pixels (sublanes) -> (1, K) rows that
+    # stack DIRECTLY into the (16, K) gradient block layout
+    dmx = jnp.sum(ddx, axis=0, keepdims=True)
+    dmy = jnp.sum(ddy, axis=0, keepdims=True)
+    dca = jnp.sum(dpower * (-0.5) * c.dx * c.dx, axis=0, keepdims=True)
+    dcb = jnp.sum(dpower * (-c.dx * c.dy), axis=0, keepdims=True)
+    dcc = jnp.sum(dpower * (-0.5) * c.dy * c.dy, axis=0, keepdims=True)
+    dop = jnp.sum(dop_pix, axis=0, keepdims=True)
+    # dL/dcolor_ck = sum_p g_color_pc w_pk : (3, K)
     dcol = jax.lax.dot_general(
-        c.w,
         g_color,
-        (((1,), (1,)), ((), ())),
+        c.w,
+        (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (K, 3)
+    )
 
-    zeros = jnp.zeros_like(dmx)
-    grad_rows = jnp.stack(
-        [dmx, dmy, dca, dcb, dcc, dop, dcol[:, 0], dcol[:, 1], dcol[:, 2]]
-        + [zeros] * 7,
-        axis=-1,
+    k = fields.shape[1]
+    zeros = jnp.zeros((INSTANCE_WIDTH - 9, k), jnp.float32)
+    grad_rows = jnp.concatenate(
+        [dmx, dmy, dca, dcb, dcc, dop, dcol, zeros], axis=0
     )
 
     t_all = t_all * tree_prod(c.one_minus)
-    gc_pre = gc_pre + jnp.sum(contrib, axis=0, keepdims=True)
+    gc_pre = gc_pre + jnp.sum(contrib, axis=1, keepdims=True)
     return grad_rows, t_all, gc_pre
