@@ -47,7 +47,9 @@ class SugarTrainConfig:
     method: str = "density"
     dn_consistency_factor: float = 0.05
     spatial_extent: float = 1.0  # used by the sdf-mode loss scaling
-    # sdf regularization (coarse_density.py:112-160)
+    # sdf regularization (coarse_density.py:112-160): regularize_from
+    # opens the regularized window (KNN tracking refresh cadence);
+    # sdf_from is when the estimation/better-normal losses activate
     regularize_from: int = 7_000
     sdf_from: int = 9_000
     sdf_estimation_factor: float = 0.2
@@ -199,7 +201,11 @@ def train(
         ci = int(order[pos])
         pos += 1
 
-        if it > cfg.sdf_from and it % cfg.reset_neighbors_every == 0:
+        # KNN tracking is refreshed through the whole REGULARIZED window
+        # (from regularize_from, not only once the sdf losses kick in at
+        # sdf_from) — the reference's reset_neighbors cadence spans the
+        # full coarse phase (coarse_density.py:184-189, 563-565)
+        if it > cfg.regularize_from and it % cfg.reset_neighbors_every == 0:
             knn_idx = compute_knn(params, cfg.knn_k)
 
         if it == cfg.hard_prune_at:
