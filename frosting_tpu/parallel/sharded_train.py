@@ -75,12 +75,19 @@ def make_sharded_train_step(
     rcfg: RasterConfig,
     cfg: GSTrainConfig,
     mesh: Mesh,
+    primitive_exchange: bool = False,
+    exchange_cap: int = 0,
 ):
     """Returns jitted step(state, cam_batch, gt_batch) -> (state, metrics).
 
     cam_batch: Camera pytree with leading dim n_data (sharded over "data").
     gt_batch:  [n_data, 3, H, W] (sharded over ("data", None, "tile", None)).
     Parameters/optimizer state are replicated.
+
+    primitive_exchange: route projected Gaussians to owning strips via
+    all_to_all (parallel/exchange.py) instead of all-gathering the full
+    projected set — per-chip memory then scales with the primitive axis.
+    exchange_cap: per-source-device routing capacity (0 = capacity/n_tile).
     """
     n_data = mesh.shape["data"]
     n_tile = mesh.shape["tile"]
@@ -101,18 +108,37 @@ def make_sharded_train_step(
 
         # --- primitive-sharded preprocess (tp analogue) ---
         # Each device projects its Gaussian shard in the FULL-image pixel
-        # frame (strip-independent), all-gathers, then shifts into its own
-        # strip's frame and recomputes the tile rect locally.
+        # frame (strip-independent), then either all-gathers the projected
+        # set or all_to_all-routes it to owning strips.
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, tile_idx * shard, shard)
+        probe_l = sl(probe)
         proj_local = preprocess(
             sl(means), sl(scales), sl(quats), sl(opac), sl(sh),
             camera, rcfg, active_sh_degree=active_deg,
         )
-        proj = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, "tile", tiled=True), proj_local
+        proj_local = proj_local._replace(
+            means2d=proj_local.means2d + probe_l
         )
+        if primitive_exchange:
+            from frosting_tpu.parallel.exchange import exchange_projected
+
+            cap = exchange_cap or max(256, shard)
+            proj, _xovf = exchange_projected(
+                proj_local, "tile", n_tile, strip_h, cap, rcfg
+            )
+            # densification stats need per-GAUSSIAN radii in original
+            # order; the candidate set is strip-routed, so gather just the
+            # radii (tiny [N] int32)
+            radii_stats = jax.lax.all_gather(
+                proj_local.radii, "tile", tiled=True
+            )
+        else:
+            proj = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, "tile", tiled=True),
+                proj_local,
+            )
+            radii_stats = proj.radii
         proj = shift_projected(proj, (0, y0), s_cfg)
-        proj = proj._replace(means2d=proj.means2d + probe)
 
         out = render_projected(proj, s_cfg, bg=bg)
         # Strip losses, EXACT: L1 decomposes over strips; SSIM windows
@@ -123,7 +149,7 @@ def make_sharded_train_step(
             1.0 - ssim_strips(out.image, gt_strip, "tile")
         )
         loss = loss / (n_data * n_tile)
-        aux = (out.radii, out.num_instances, out.overflow,
+        aux = (radii_stats, out.num_instances, out.overflow,
                psnr(jnp.clip(out.image, 0, 1), gt_strip))
         return loss, aux
 

@@ -197,3 +197,42 @@ def test_sharded_frosting_refine_matches_single_device():
     assert cos > 0.999, cos
     # background gaussians moved in the sharded step too
     assert float(jnp.abs(p_new.bg.sh_dc - fparams.bg.sh_dc).max()) > 0
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_primitive_exchange_matches_all_gather():
+    """The all_to_all instance exchange (per-chip memory scaling on the
+    primitive axis, SURVEY §7) must reproduce the all-gather step: same
+    loss, same update direction."""
+    rcfg = RasterConfig(
+        width=64, height=64, tile_w=32, tile_h=16, chunk=32,
+        max_instances=4096, backend="jax",
+    )
+    cfg = gs_trainer.GSTrainConfig(capacity=512, white_background=False)
+    gt = synthetic.gaussian_blob_scene(n=300, seed=2)
+    cams = synthetic.camera_ring(n_cams=2, radius=3.0)
+    bg = jnp.zeros((3,), jnp.float32)
+    gt_imgs = synthetic.render_gt_images(gt, cams, rcfg, bg)
+    pts, cols = synthetic.degraded_init(gt, keep=0.9, jitter=0.02)
+
+    state, tx = gs_trainer.init_state(pts, cols, 3.3, cfg)
+    mesh = st.make_mesh(n_data=2, n_tile=4)
+    cam_batch = st.stack_cameras(cams)
+    cams_s, gts_s = st.shard_batch(mesh, cam_batch, jnp.asarray(gt_imgs))
+
+    step_ag = st.make_sharded_train_step(tx, rcfg, cfg, mesh)
+    step_ex = st.make_sharded_train_step(
+        tx, rcfg, cfg, mesh, primitive_exchange=True, exchange_cap=512
+    )
+    s_ag, m_ag = step_ag(state, cams_s, gts_s)
+    s_ex, m_ex = step_ex(state, cams_s, gts_s)
+    np.testing.assert_allclose(
+        float(m_ex["loss"]), float(m_ag["loss"]), rtol=1e-5
+    )
+    a = np.asarray(s_ag.params.means3d) - np.asarray(state.params.means3d)
+    b = np.asarray(s_ex.params.means3d) - np.asarray(state.params.means3d)
+    cos = float(
+        np.dot(a.ravel(), b.ravel())
+        / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    )
+    assert cos > 0.9999, cos
