@@ -65,11 +65,17 @@ def make_sharded_frosting_step(
     cfg: FrostingTrainConfig,
     mesh: Mesh,
     meta: FrostingMeta,
+    primitive_exchange: bool = False,
+    exchange_cap: int = 0,
 ):
     """Returns jitted step(params, opt_state, cam_batch, gt_batch)
     -> (params, opt_state, metrics). Params/opt state replicated;
     cam_batch leading dim n_data; gt_batch [n_data, 3, H, W] sharded
-    (data, tile-strips). Shard with sharded_train.shard_batch."""
+    (data, tile-strips). Shard with sharded_train.shard_batch.
+
+    primitive_exchange: all_to_all-route projected Gaussians to owning
+    strips (parallel/exchange.py) instead of all-gathering — per-chip
+    memory then scales with the 2-5M-gaussian refine budget."""
     n_data = mesh.shape["data"]
     n_tile = mesh.shape["tile"]
     s_cfg = strip_config(rcfg, n_tile)
@@ -107,9 +113,18 @@ def make_sharded_frosting_step(
         proj_local = preprocess(
             *arrays, camera, rcfg, active_sh_degree=active_deg
         )
-        proj = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, "tile", tiled=True), proj_local
-        )
+        if primitive_exchange:
+            from frosting_tpu.parallel.exchange import exchange_projected
+
+            cap = exchange_cap or max(256, arrays[0].shape[0])
+            proj, _xovf = exchange_projected(
+                proj_local, "tile", n_tile, strip_h, cap, rcfg
+            )
+        else:
+            proj = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, "tile", tiled=True),
+                proj_local,
+            )
         proj = shift_projected(proj, (0, y0), s_cfg)
         out = render_projected(proj, s_cfg, bg=bg_color)
 

@@ -195,7 +195,8 @@ def make_sharded_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         dstate = densify_lib.update_stats(
-            state.dstate, probe_grad, radii, params.mask
+            state.dstate, probe_grad, radii, params.mask,
+            image_size=(rcfg.width, rcfg.height),
         )
         max_radii = jnp.maximum(state.max_radii, radii.astype(jnp.float32))
         metrics = {

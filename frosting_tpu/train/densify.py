@@ -58,9 +58,21 @@ def update_stats(
     means2d_grad: jnp.ndarray,  # [C, 2] grad of the screen-space probe
     radii: jnp.ndarray,  # [C] int32
     mask: jnp.ndarray,  # [C]
+    image_size: tuple = (0, 0),  # (W, H); 0 = grads already NDC-scaled
 ) -> DensifyState:
+    """Accumulate screen-space positional gradient norms
+    (sugar_densifier.py:156-164). IMPORTANT unit parity: our probe grads
+    are in PIXELS, but the reference's densify_grad_threshold (0.0002)
+    applies to the CUDA rasterizer's mean2D grads, which carry the
+    ndc2Pix Jacobian 0.5*W / 0.5*H (backward.cu ddelx_dx) — without this
+    rescale the threshold is effectively ~W/2 times stricter and
+    densification never fires."""
     visible = (radii > 0) & (mask > 0.5)
-    norm = jnp.linalg.norm(means2d_grad, axis=-1)
+    g = means2d_grad
+    w, h = image_size
+    if w:
+        g = g * jnp.asarray([0.5 * w, 0.5 * h], g.dtype)
+    norm = jnp.linalg.norm(g, axis=-1)
     return DensifyState(
         grad_accum=state.grad_accum + jnp.where(visible, norm, 0.0),
         denom=state.denom + visible.astype(jnp.float32),

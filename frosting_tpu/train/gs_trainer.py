@@ -115,7 +115,8 @@ def train_step(
     params = optax.apply_updates(state.params, updates)
 
     dstate = densify_lib.update_stats(
-        state.dstate, probe_grad, out.radii, params.mask
+        state.dstate, probe_grad, out.radii, params.mask,
+        image_size=(rcfg.width, rcfg.height),
     )
     max_radii = jnp.maximum(
         state.max_radii, out.radii.astype(jnp.float32)

@@ -71,7 +71,7 @@ def make_scene(seed=0):
     cols = np.concatenate([p[1] for p in parts]).astype(np.float32)
     n = len(means)
     scales = np.exp(
-        rng.uniform(np.log(0.012), np.log(0.05), (n, 3))
+        rng.uniform(np.log(0.006), np.log(0.022), (n, 3))
     ).astype(np.float32)
     quats = rng.normal(size=(n, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)

@@ -198,6 +198,22 @@ def test_sharded_frosting_refine_matches_single_device():
     # background gaussians moved in the sharded step too
     assert float(jnp.abs(p_new.bg.sh_dc - fparams.bg.sh_dc).max()) > 0
 
+    # exchange-routed refine step matches too (loss exactly, direction)
+    step_ex = sf.make_sharded_frosting_step(
+        tx, rcfg, tcfg, mesh, meta,
+        primitive_exchange=True, exchange_cap=1024 + 384,
+    )
+    p_ex, _o, m_ex = step_ex(fparams, opt_state, cams_s, gts_s)
+    np.testing.assert_allclose(
+        float(m_ex["loss"]), float(metrics["loss"]), rtol=1e-5
+    )
+    a = flat(p_new, fparams)
+    bx = flat(p_ex, fparams)
+    cos_ex = float(
+        np.dot(a, bx) / (np.linalg.norm(a) * np.linalg.norm(bx) + 1e-12)
+    )
+    assert cos_ex > 0.999, cos_ex
+
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_primitive_exchange_matches_all_gather():
