@@ -144,11 +144,24 @@ def adapt_frosting(
         axis=-1,
     )
 
-    # deformation masking: zero out overly stretched cells
-    sv = jnp.linalg.norm(A_g, axis=(1, 2)) / jnp.sqrt(3.0)  # ~mean stretch
+    # deformation masking — exact reference semantics
+    # (_get_edited_points_deformation_mask, blender/frosting_utils.py:
+    # 535-548): per-face ratio = max over corners of corner-to-centroid
+    # distance new/reference; Gaussians in faces stretched beyond the
+    # threshold get opacity zeroed
+    def corner_dists(verts):
+        tri = verts[meta.faces]
+        return jnp.linalg.norm(tri - tri.mean(axis=1, keepdims=True), axis=-1)
+
+    ratios = jnp.max(
+        corner_dists(new_shell_verts)
+        / jnp.maximum(corner_dists(params.shell_verts), 1e-12),
+        axis=-1,
+    )  # [F]
     opac = jax.nn.sigmoid(params.opacities_raw)
-    opac = jnp.where(sv > deformation_threshold, 0.0, opac)
-    opac = jnp.where(sv < 1.0 / deformation_threshold, 0.0, opac)
+    opac = jnp.where(
+        ratios[meta.cell_idx] > deformation_threshold, 0.0, opac
+    )
 
     # SH rotation: rotate view dirs by the cell's rotation delta (polar part
     # of A), the analogue of get_frosting_sh_rotations' quat delta
