@@ -120,7 +120,6 @@ def level_points_from_camera(
     pts = origin + dir_world[..., None, :] * t_samples[..., None]
 
     flat_pts = pts.reshape(-1, 3)
-    knn_idx, _ = knn_lib.knn_query(flat_pts, means, k=cfg.knn_k)
 
     def density_at(p, idx):
         return fields.field_values(
@@ -128,11 +127,27 @@ def level_points_from_camera(
             density_factor=1.0,
         ).density
 
-    dens, dgrad = jax.vmap(
-        lambda p, idx: jax.value_and_grad(
-            lambda q: density_at(q[None], idx[None])[0]
-        )(p)
-    )(flat_pts, knn_idx)
+    def eval_block(pts_block):
+        # batched density passes (the reference evaluates 2M pts/pass,
+        # fm:1888-1912): unbatched, the [M, K, 3] neighbor gathers at a
+        # 5M-point extraction materialize lane-padded multi-GB arrays
+        knn_idx, _ = knn_lib.knn_query(pts_block, means, k=cfg.knn_k)
+        return jax.vmap(
+            lambda p, idx: jax.value_and_grad(
+                lambda q: density_at(q[None], idx[None])[0]
+            )(p)
+        )(pts_block, knn_idx)
+
+    m = flat_pts.shape[0]
+    blk = 65536
+    if m <= blk:
+        dens, dgrad = eval_block(flat_pts)
+    else:
+        pad = (-m) % blk
+        fp = jnp.concatenate([flat_pts, jnp.zeros((pad, 3), jnp.float32)])
+        dens, dgrad = jax.lax.map(eval_block, fp.reshape(-1, blk, 3))
+        dens = dens.reshape(-1)[:m]
+        dgrad = dgrad.reshape(-1, 3)[:m]
     dens = dens.reshape(h, w, cfg.n_ray_samples)
     dgrad = dgrad.reshape(h, w, cfg.n_ray_samples, 3)
 

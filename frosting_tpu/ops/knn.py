@@ -151,38 +151,59 @@ def knn_query(
     hi = jnp.maximum(jnp.max(refs, axis=0), jnp.max(queries, axis=0))
     span = hi - lo
 
-    cand_list = []
+    orders, sorted_codes_list, shifts = [], [], []
     for g in range(n_grids):
         shift = span * (g / (n_grids * 7.3))  # jittered grid origins
         ref_codes = morton_codes(refs, lo - shift, hi)
         order = jnp.argsort(ref_codes).astype(jnp.int32)
-        sorted_codes = ref_codes[order]
-        q_codes = morton_codes(queries, lo - shift, hi)
-        pos = jnp.searchsorted(sorted_codes, q_codes).astype(jnp.int32)
-        offs = jnp.arange(-window, window + 1)
-        cand_pos = jnp.clip(pos[:, None] + offs[None, :], 0, n - 1)
-        cand_list.append(order[cand_pos])
-    cand = jnp.concatenate(cand_list, axis=1)  # [M, n_grids*(2W+1)]
+        orders.append(order)
+        sorted_codes_list.append(ref_codes[order])
+        shifts.append(shift)
+    rx, ry, rz = refs[:, 0], refs[:, 1], refs[:, 2]
 
-    diff = refs[cand] - queries[:, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
-    # de-duplicate repeats (window-edge clipping + cross-grid overlap)
-    order_c = jnp.argsort(cand, axis=1, stable=True)
-    cand_sorted = jnp.take_along_axis(cand, order_c, axis=1)
-    dup_sorted = jnp.concatenate(
-        [
-            jnp.zeros((m, 1), bool),
-            cand_sorted[:, 1:] == cand_sorted[:, :-1],
-        ],
-        axis=1,
-    )
-    dup = jnp.zeros_like(dup_sorted).at[
-        jnp.arange(m)[:, None], order_c
-    ].set(dup_sorted)
-    d2 = jnp.where(dup, jnp.inf, d2)
-    neg_d2, top_idx = jax.lax.top_k(-d2, k)
-    idx = jnp.take_along_axis(cand, top_idx, axis=1)
-    return idx, -neg_d2
+    def one_block(q):  # [B, 3] — bounded memory per block
+        b = q.shape[0]
+        cand_list = []
+        for g in range(n_grids):
+            q_codes = morton_codes(q, lo - shifts[g], hi)
+            pos = jnp.searchsorted(
+                sorted_codes_list[g], q_codes
+            ).astype(jnp.int32)
+            offs = jnp.arange(-window, window + 1)
+            cand_pos = jnp.clip(pos[:, None] + offs[None, :], 0, n - 1)
+            cand_list.append(orders[g][cand_pos])
+        cand = jnp.concatenate(cand_list, axis=1)  # [B, C]
+        # component-wise distances: [B, C] arrays only — gathering [B,C,3]
+        # point triples materializes a lane-padded monster at scale (a 5M-
+        # query extraction pass OOM'd at 546 GB before this formulation)
+        dx = rx[cand] - q[:, 0:1]
+        dy = ry[cand] - q[:, 1:2]
+        dz = rz[cand] - q[:, 2:3]
+        d2 = dx * dx + dy * dy + dz * dz
+        # de-duplicate repeats (window-edge clipping + cross-grid overlap)
+        order_c = jnp.argsort(cand, axis=1, stable=True)
+        cand_sorted = jnp.take_along_axis(cand, order_c, axis=1)
+        dup_sorted = jnp.concatenate(
+            [
+                jnp.zeros((b, 1), bool),
+                cand_sorted[:, 1:] == cand_sorted[:, :-1],
+            ],
+            axis=1,
+        )
+        dup = jnp.zeros_like(dup_sorted).at[
+            jnp.arange(b)[:, None], order_c
+        ].set(dup_sorted)
+        d2 = jnp.where(dup, jnp.inf, d2)
+        neg_d2, top_idx = jax.lax.top_k(-d2, k)
+        return jnp.take_along_axis(cand, top_idx, axis=1), -neg_d2
+
+    blk = 131072
+    if m <= blk:
+        return one_block(queries)
+    pad = (-m) % blk
+    qp = jnp.concatenate([queries, jnp.zeros((pad, 3), queries.dtype)])
+    idx, d2 = jax.lax.map(one_block, qp.reshape(-1, blk, 3))
+    return idx.reshape(-1, k)[:m], d2.reshape(-1, k)[:m]
 
 
 def mean_knn_sqdist(points: jnp.ndarray, k: int = 3) -> jnp.ndarray:
