@@ -66,7 +66,7 @@ def knn(
         hi = jnp.max(jnp.where(valid[:, None], points, -big), axis=0)
     span = jnp.maximum(hi - lo, 1e-12)
 
-    cand_list = []
+    ranks_orders = []
     for g in range(n_grids):
         # jitter the grid origin to decorrelate cell boundaries
         shift = span * (0.0 if g == 0 else (0.33 * g))
@@ -75,38 +75,66 @@ def knn(
             codes = jnp.where(valid, codes, jnp.uint32(0xFFFFFFFF))
         order = jnp.argsort(codes)
         rank = jnp.argsort(order)  # position of each point in sorted order
+        ranks_orders.append((rank, order))
+    px, py, pz = points[:, 0], points[:, 1], points[:, 2]
+    valid_f = valid
+
+    def one_block(args):
+        # blocked candidates + component-wise distances: [B, C] arrays
+        # only ([N, C, 3] point-triple gathers are lane-padded 42x and OOM
+        # at millions of points)
+        q, ranks, base = args
+        b = q.shape[0]
+        cand_list = []
         offs = jnp.arange(-window, window + 1)
-        cand_pos = rank[:, None] + offs[None, :]
-        cand_pos = jnp.clip(cand_pos, 0, n - 1)
-        cand_list.append(order[cand_pos])  # [N, 2W+1]
-    cand = jnp.concatenate(cand_list, axis=1)
+        for g in range(n_grids):
+            cand_pos = jnp.clip(ranks[:, g][:, None] + offs[None, :], 0, n - 1)
+            cand_list.append(ranks_orders[g][1][cand_pos])
+        cand = jnp.concatenate(cand_list, axis=1)  # [B, C]
+        dx = px[cand] - q[:, 0:1]
+        dy = py[cand] - q[:, 1:2]
+        dz = pz[cand] - q[:, 2:3]
+        d2 = dx * dx + dy * dy + dz * dz
+        self_mask = cand == (base + jnp.arange(b))[:, None]
+        d2 = jnp.where(self_mask, jnp.inf, d2)
+        if valid_f is not None:
+            d2 = jnp.where(valid_f[cand], d2, jnp.inf)
+        # de-duplicate candidates repeated across grids
+        order_c = jnp.argsort(cand, axis=1, stable=True)
+        cand_sorted = jnp.take_along_axis(cand, order_c, axis=1)
+        dup_sorted = jnp.concatenate(
+            [
+                jnp.zeros((b, 1), bool),
+                cand_sorted[:, 1:] == cand_sorted[:, :-1],
+            ],
+            axis=1,
+        )
+        dup = jnp.zeros_like(dup_sorted).at[
+            jnp.arange(b)[:, None], order_c
+        ].set(dup_sorted)
+        d2 = jnp.where(dup, jnp.inf, d2)
+        neg_d2, top_idx = jax.lax.top_k(-d2, k)
+        return jnp.take_along_axis(cand, top_idx, axis=1), -neg_d2
 
-    diff = points[cand] - points[:, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
-    # exclude self matches (distance exactly to own index)
-    self_mask = cand == jnp.arange(n)[:, None]
-    d2 = jnp.where(self_mask, jnp.inf, d2)
-    if valid is not None:
-        d2 = jnp.where(valid[cand], d2, jnp.inf)
-    # de-duplicate candidates repeated across grids (top_k would otherwise
-    # return the same neighbor twice): inf-mask every repeat after the first.
-    order_c = jnp.argsort(cand, axis=1, stable=True)
-    cand_sorted = jnp.take_along_axis(cand, order_c, axis=1)
-    dup_sorted = jnp.concatenate(
-        [
-            jnp.zeros((n, 1), bool),
-            cand_sorted[:, 1:] == cand_sorted[:, :-1],
-        ],
-        axis=1,
+    all_ranks = jnp.stack([r for r, _o in ranks_orders], axis=1)  # [N, G]
+    blk = 131072
+    if n <= blk:
+        return one_block((points, all_ranks, jnp.int32(0)))
+    pad = (-n) % blk
+    qp = jnp.concatenate([points, jnp.zeros((pad, 3), points.dtype)])
+    rp = jnp.concatenate(
+        [all_ranks, jnp.zeros((pad, all_ranks.shape[1]), all_ranks.dtype)]
     )
-    dup = jnp.zeros_like(dup_sorted).at[
-        jnp.arange(n)[:, None], order_c
-    ].set(dup_sorted)
-    d2 = jnp.where(dup, jnp.inf, d2)
-
-    neg_d2, top_idx = jax.lax.top_k(-d2, k)
-    idx = jnp.take_along_axis(cand, top_idx, axis=1)
-    return idx, -neg_d2
+    bases = jnp.arange(0, n + pad, blk, dtype=jnp.int32)
+    idx, d2 = jax.lax.map(
+        one_block,
+        (
+            qp.reshape(-1, blk, 3),
+            rp.reshape(-1, blk, all_ranks.shape[1]),
+            bases,
+        ),
+    )
+    return idx.reshape(-1, k)[:n], d2.reshape(-1, k)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
