@@ -1,0 +1,162 @@
+"""Sharded coarse-SuGaR training step (stage 2): the (data x tile) design
+of sharded_train.py plus the surface-regularization losses.
+
+Shardings:
+  * photometric + entropy: strip-sharded render with exact halo-exchange
+    SSIM (identical to the GS step); entropy is a per-gaussian mean over
+    the replicated cloud (computed once, not summed across devices).
+  * density-mode SDF estimation + better-normal losses
+    (coarse_density.py:634-730): the SAMPLE axis is sharded — each device
+    draws an independent 1/(n_data*n_tile) slice of the sample budget with
+    a device-folded key and evaluates the KNN density field on the
+    replicated cloud; the psum mean over devices equals a single-device
+    step with the same total sample budget (up to sampling randomness).
+
+The depth-anchored 'sdf' mode (coarse_sdf.py) needs the full rendered
+depth map per sample and is left to the single-device trainer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from frosting_tpu.models import sugar as sugar_lib
+from frosting_tpu.ops.ssim import l1_loss, psnr, ssim_strips
+from frosting_tpu.raster import RasterConfig
+from frosting_tpu.raster.preprocess import preprocess, shift_projected
+from frosting_tpu.raster.render import render_projected
+from frosting_tpu.scene.gaussians import activate
+from frosting_tpu.train.sugar_trainer import SugarTrainConfig
+from frosting_tpu.parallel.sharded_train import strip_config
+
+
+def make_sharded_sugar_step(
+    tx,
+    rcfg: RasterConfig,
+    cfg: SugarTrainConfig,
+    mesh: Mesh,
+    phase: str,  # "photo" | "entropy" | "sdf" (density-mode losses)
+):
+    """Returns jitted step(params, opt_state, cam_batch, gt_batch, knn_idx,
+    key) -> (params, opt_state, metrics)."""
+    if phase == "sdf" and cfg.method == "sdf":
+        raise NotImplementedError(
+            "depth-anchored sdf mode is single-device; shard the density "
+            "mode (the Shelly paper config) or use data parallelism"
+        )
+    n_data = mesh.shape["data"]
+    n_tile = mesh.shape["tile"]
+    s_cfg = strip_config(rcfg, n_tile)
+    strip_h = s_cfg.height
+    bg_value = 1.0 if cfg.white_background else 0.0
+    n_dev = n_data * n_tile
+    samples_per_dev = max(256, cfg.n_sdf_samples // n_dev)
+
+    def device_loss(params, camera, gt_strip, knn_idx, key, active_deg):
+        bg = jnp.full((3,), bg_value, jnp.float32)
+        tile_idx = jax.lax.axis_index("tile")
+        data_idx = jax.lax.axis_index("data")
+        y0 = tile_idx * strip_h
+
+        means, scales, quats, opac, sh = activate(params)
+        n = means.shape[0]
+        shard = n // n_tile
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(
+            x, tile_idx * shard, shard
+        )
+        proj_local = preprocess(
+            sl(means), sl(scales), sl(quats), sl(opac), sl(sh),
+            camera, rcfg, active_sh_degree=active_deg,
+        )
+        proj = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, "tile", tiled=True), proj_local
+        )
+        proj = shift_projected(proj, (0, y0), s_cfg)
+        out = render_projected(proj, s_cfg, bg=bg)
+
+        ll1 = l1_loss(out.image, gt_strip)
+        loss = (1.0 - cfg.lambda_dssim) * ll1 + cfg.lambda_dssim * (
+            1.0 - ssim_strips(out.image, gt_strip, "tile")
+        )
+        loss = loss / n_dev
+
+        visible = proj.radii > 0
+        live = visible & (params.mask > 0.5)
+        if phase == "entropy":
+            # per-gaussian mean over the REPLICATED cloud: divide by the
+            # full device count so the psum equals one copy
+            loss = loss + cfg.entropy_factor * sugar_lib.entropy_loss(
+                opac, live
+            ) / n_dev
+        if phase == "sdf":
+            dev_key = jax.random.fold_in(
+                key, data_idx * n_tile + tile_idx
+            )
+            inp = sugar_lib.sample_sdf_points(
+                dev_key, means, scales, quats, knn_idx, live,
+                samples_per_dev, cfg.sdf_sampling_scale_factor,
+            )
+            sdf_l = sugar_lib.sdf_estimation_density_loss(
+                inp, means, scales, quats, opac, beta_mode=cfg.beta_mode
+            )
+            bn_l = sugar_lib.better_normal_loss(
+                inp, means, scales, quats, opac
+            )
+            loss = loss + (
+                cfg.sdf_estimation_factor * sdf_l
+                + cfg.sdf_better_normal_factor * bn_l
+            ) / n_dev
+
+        aux = (
+            out.num_instances,
+            out.overflow,
+            psnr(jnp.clip(out.image, 0, 1), gt_strip),
+        )
+        return loss, aux
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data", None, "tile", None), P(), P()),
+        out_specs=(P(), P(), P()),
+    )
+    def sharded_grads(params, cams, gts, knn_idx, key):
+        camera = jax.tree.map(lambda x: x[0], cams)
+        gt_strip = gts[0]
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: device_loss(
+                p, camera, gt_strip, knn_idx, key, cfg.sh_degree
+            ),
+            has_aux=True,
+        )(params)
+        n_inst, ovf, psnr_strip = aux
+        grads = jax.lax.psum(grads, ("data", "tile"))
+        loss = jax.lax.psum(loss, ("data", "tile"))
+        stats = jnp.stack(
+            [jnp.float32(n_inst), jnp.float32(ovf), psnr_strip]
+        )
+        stats = jax.lax.pmax(stats, ("data", "tile"))
+        return loss, grads, stats
+
+    @jax.jit
+    def step(params, opt_state, cam_batch, gt_batch, knn_idx, key):
+        loss, grads, stats = sharded_grads(
+            params, cam_batch, gt_batch, knn_idx, key
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            "loss": loss,
+            "num_instances": stats[0],
+            "overflow": stats[1],
+            "psnr_strip": stats[2],
+        }
+        return params, opt_state, metrics
+
+    return step
