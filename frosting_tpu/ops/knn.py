@@ -48,15 +48,23 @@ def morton_codes(points: jnp.ndarray, lo=None, hi=None) -> jnp.ndarray:
 def knn(
     points: jnp.ndarray,  # [N, 3]
     k: int = 16,
-    window: int = 32,
+    window: int = 0,
     n_grids: int = 2,
     valid=None,  # [N] bool; invalid rows (dead arena slots) are excluded
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-KNN. Returns (idx [N, k], sqdist [N, k]), neighbor 0
     being the nearest (excluding self). With `valid`, dead rows neither
     distort the Morton bounding box (arena slots are parked at 1e6) nor
-    appear as neighbors; their own rows are garbage and must not be read."""
+    appear as neighbors; their own rows are garbage and must not be read.
+
+    window=0 picks an N-adaptive default: Morton-window recall degrades
+    with density contrast at millions of points (measured 0.82@100k ->
+    0.70@2M at window 32), so large clouds get a wider window — self-KNN
+    runs off the hot loop (every-500-iters resets / init), so the larger
+    candidate set is cheap insurance."""
     n = points.shape[0]
+    if window == 0:
+        window = 32 if n <= (1 << 18) else 64
     if valid is None:
         lo = jnp.min(points, axis=0)
         hi = jnp.max(points, axis=0)
