@@ -140,3 +140,16 @@ def conic_and_radius(cov2d: jnp.ndarray):
     lambda1 = mid + sq
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))
     return conic, radius, det
+
+
+def axis_extents(cov2d: jnp.ndarray):
+    """Per-axis 3-sigma extents of the 2D Gaussian: the ellipse
+    {d^T cov2d^-1 d = 9} spans exactly +-3*sqrt(cov_xx) in x and
+    +-3*sqrt(cov_yy) in y. Tighter than the isotropic 3*sigma_max bbox the
+    CUDA reference uses (forward.cu:229-236) — for anisotropic splats
+    (SuGaR flattens Gaussians onto surfaces) this cuts the duplicated
+    (gaussian, tile) instance count substantially at identical tile-level
+    truncation semantics."""
+    rx = 3.0 * jnp.sqrt(jnp.maximum(cov2d[..., 0], 1e-12))
+    ry = 3.0 * jnp.sqrt(jnp.maximum(cov2d[..., 2], 1e-12))
+    return rx, ry

@@ -19,11 +19,14 @@ import jax
 import jax.numpy as jnp
 
 from frosting_tpu.raster import RasterConfig
-from frosting_tpu.raster.preprocess import Projected, rect_for_grid
+from frosting_tpu.raster.preprocess import Projected
 
 # exchange payload layout (float32 rows):
 # 0:2 means2d | 2:5 conics | 5:8 colors | 8 opacity | 9 depth | 10 radius
-_W = 11
+# 11:15 full-image tile rect (carried exactly so the receiver keeps the
+# sender's anisotropic-tight inclusion set; tile indices are small ints,
+# exact in f32)
+_W = 15
 
 
 def _pack(proj: Projected) -> jnp.ndarray:
@@ -35,6 +38,7 @@ def _pack(proj: Projected) -> jnp.ndarray:
             proj.opacities[:, None],
             proj.depths[:, None],
             proj.radii.astype(jnp.float32)[:, None],
+            proj.rect.astype(jnp.float32),
         ],
         axis=1,
     )
@@ -42,6 +46,9 @@ def _pack(proj: Projected) -> jnp.ndarray:
 
 def _unpack(rows: jnp.ndarray, valid: jnp.ndarray) -> Projected:
     radii = jnp.where(valid, rows[:, 10], 0.0).astype(jnp.int32)
+    rect = jnp.where(
+        valid[:, None], rows[:, 11:15].astype(jnp.int32), 0
+    )
     return Projected(
         means2d=rows[:, 0:2],
         conics=rows[:, 2:5],
@@ -49,7 +56,7 @@ def _unpack(rows: jnp.ndarray, valid: jnp.ndarray) -> Projected:
         opacities=jnp.where(valid, rows[:, 8], 0.0),
         depths=rows[:, 9],
         radii=radii,
-        rect=jnp.zeros((rows.shape[0], 4), jnp.int32),  # recomputed later
+        rect=rect,
         valid=valid,
     )
 
@@ -69,10 +76,11 @@ def exchange_projected(
     rows = _pack(proj_local)
     n_local = rows.shape[0]
 
-    # full-image tile rect of the local shard (strip-independent)
-    rect, valid = rect_for_grid(proj_local.means2d, proj_local.radii, full_cfg)
-    ty0 = rect[:, 1]
-    ty1 = rect[:, 3]
+    # full-image tile rect of the local shard (strip-independent) — use the
+    # preprocess-computed rect directly (anisotropic-tight)
+    valid = proj_local.valid
+    ty0 = proj_local.rect[:, 1]
+    ty1 = proj_local.rect[:, 3]
     tiles_per_strip = strip_h // full_cfg.tile_h
 
     def build_send(t):

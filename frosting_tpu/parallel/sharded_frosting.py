@@ -125,7 +125,7 @@ def make_sharded_frosting_step(
                 lambda x: jax.lax.all_gather(x, "tile", tiled=True),
                 proj_local,
             )
-        proj = shift_projected(proj, (0, y0), s_cfg)
+        proj = shift_projected(proj, (0, y0), s_cfg, tile_aligned=True)
         out = render_projected(proj, s_cfg, bg=bg_color)
 
         ll1 = l1_loss(out.image, gt_strip)

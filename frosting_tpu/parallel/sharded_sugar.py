@@ -77,7 +77,7 @@ def make_sharded_sugar_step(
         proj = jax.tree.map(
             lambda x: jax.lax.all_gather(x, "tile", tiled=True), proj_local
         )
-        proj = shift_projected(proj, (0, y0), s_cfg)
+        proj = shift_projected(proj, (0, y0), s_cfg, tile_aligned=True)
         out = render_projected(proj, s_cfg, bg=bg)
 
         ll1 = l1_loss(out.image, gt_strip)

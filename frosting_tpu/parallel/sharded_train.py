@@ -138,7 +138,7 @@ def make_sharded_train_step(
                 proj_local,
             )
             radii_stats = proj.radii
-        proj = shift_projected(proj, (0, y0), s_cfg)
+        proj = shift_projected(proj, (0, y0), s_cfg, tile_aligned=True)
 
         out = render_projected(proj, s_cfg, bg=bg)
         # Strip losses, EXACT: L1 decomposes over strips; SSIM windows

@@ -224,11 +224,16 @@ def _backward_kernel(
             isem_ref.at[slot],
         )
 
-    def out_dma(slot, jj, j):
+    def out_dma(slot, s):
+        # ONE copy per superblock (per-chunk 8 KB copies are DMA-latency
+        # bound). The tail superblock writes its slack chunks too — zeros
+        # into the next tile's leading blocks, which that tile's program
+        # always overwrites later (its superblock 0 is unconditionally
+        # processed and this program drains its copies before ending).
         return pltpu.make_async_copy(
-            gbuf_ref.at[slot, jj],
-            grad_hbm.at[block0 + j],
-            osem_ref.at[slot, jj],
+            gbuf_ref.at[slot],
+            grad_hbm.at[pl.ds(block0 + s * sb, sb)],
+            osem_ref.at[slot],
         )
 
     in_dma(0, 0).start()
@@ -249,13 +254,11 @@ def _backward_kernel(
 
         in_dma(slot, s).wait()
 
-        # out-DMAs that used this gbuf slot (superblock s-2; all of its
-        # sub-chunks were in range, only the LAST superblock can be
-        # partial) must land before reuse
+        # the out-DMA that used this gbuf slot (superblock s-2) must land
+        # before reuse
         @pl.when(s >= 2)
         def _():
-            for jj in range(sb):
-                out_dma(slot, jj, 0).wait()
+            out_dma(slot, 0).wait()
 
         for jj in range(sb):
             j = s * sb + jj
@@ -281,13 +284,11 @@ def _backward_kernel(
                 live, real, dead, t_all, gc_pre
             )
 
-            # early-stopped in-range chunks still write (zeros): keeps the
-            # out-DMA schedule deterministic so semaphore waits match starts
-            @pl.when(in_range)
-            def _(jj=jj, j=j, grad_t=grad_t):
-                gbuf_ref[slot, jj] = grad_t
-                out_dma(slot, jj, j).start()
+            # every chunk of the superblock is written (zeros when dead or
+            # out of range) so the single out-DMA carries no stale data
+            gbuf_ref[slot, jj] = grad_t
 
+        out_dma(slot, s).start()
         return s + 1, t_all, gc_pre
 
     s_exit, _t_all, _gc = jax.lax.while_loop(
@@ -301,18 +302,15 @@ def _backward_kernel(
     )
 
     # drain: in-flight prefetch on early exit + out-DMAs of the last two
-    # processed superblocks (issued exactly for j < n)
+    # processed superblocks (one was started per executed body)
     @pl.when(s_exit < n_super)
     def _():
         in_dma(jax.lax.rem(s_exit, 2), s_exit).wait()
 
     for dq in (2, 1):
-        for jj in range(sb):
-            @pl.when(
-                (s_exit >= dq) & ((s_exit - dq) * sb + jj < n)
-            )
-            def _(dq=dq, jj=jj):
-                out_dma(jax.lax.rem(s_exit - dq, 2), jj, 0).wait()
+        @pl.when(s_exit >= dq)
+        def _(dq=dq):
+            out_dma(jax.lax.rem(s_exit - dq, 2), 0).wait()
 
 
 def blend_backward_pallas(
@@ -351,7 +349,7 @@ def blend_backward_pallas(
                 (2, cfg.dma_superblock, INSTANCE_WIDTH, k), jnp.float32
             ),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, cfg.dma_superblock)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     zeros = jnp.zeros((cfg.n_blocks, INSTANCE_WIDTH, k), jnp.float32)

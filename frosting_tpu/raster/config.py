@@ -15,6 +15,8 @@ import dataclasses
 #   6: color.r    7: color.g     8: color.b
 #   9..15: reserved (zero)
 INSTANCE_WIDTH = 16
+# Rows 0..8 carry data; 9..15 are reserved zeros (DMA alignment padding).
+INSTANCE_FIELDS_USED = 9
 
 # Alpha-compositing constants, matching renderCUDA (forward.cu:310-351).
 ALPHA_CLAMP = 0.99

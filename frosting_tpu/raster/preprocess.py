@@ -90,18 +90,21 @@ def preprocess(
         colors = colors_precomp
 
     # Tile rect (getRect, auxiliary.h:46-55). Integer/bookkeeping only.
-    r = jnp.where(in_front & (det > 0.0), radius_f, 0.0)
-    mx = jnp.floor(mean_x)  # rect math on non-grad copies
-    my = jnp.floor(mean_y)
-    tx0 = jnp.clip(((mean_x - r) // cfg.tile_w), 0, cfg.tiles_x).astype(jnp.int32)
-    ty0 = jnp.clip(((mean_y - r) // cfg.tile_h), 0, cfg.tiles_y).astype(jnp.int32)
+    # Per-AXIS 3-sigma extents instead of the reference's square
+    # 3*sigma_max bbox: same tile-level truncation semantics, far fewer
+    # duplicated instances for anisotropic splats (ops/cov.axis_extents).
+    rx, ry = cov_ops.axis_extents(cov2d)
+    keep = in_front & (det > 0.0)
+    rx = jnp.where(keep, rx, 0.0)
+    ry = jnp.where(keep, ry, 0.0)
+    tx0 = jnp.clip(((mean_x - rx) // cfg.tile_w), 0, cfg.tiles_x).astype(jnp.int32)
+    ty0 = jnp.clip(((mean_y - ry) // cfg.tile_h), 0, cfg.tiles_y).astype(jnp.int32)
     tx1 = jnp.clip(
-        ((mean_x + r + cfg.tile_w - 1) // cfg.tile_w), 0, cfg.tiles_x
+        ((mean_x + rx + cfg.tile_w - 1) // cfg.tile_w), 0, cfg.tiles_x
     ).astype(jnp.int32)
     ty1 = jnp.clip(
-        ((mean_y + r + cfg.tile_h - 1) // cfg.tile_h), 0, cfg.tiles_y
+        ((mean_y + ry + cfg.tile_h - 1) // cfg.tile_h), 0, cfg.tiles_y
     ).astype(jnp.int32)
-    del mx, my
     area = (tx1 - tx0) * (ty1 - ty0)
     valid = in_front & (det > 0.0) & (area > 0)
     rect = jnp.stack([tx0, ty0, tx1, ty1], axis=-1)
@@ -141,16 +144,44 @@ def rect_for_grid(
 
 
 def shift_projected(
-    proj: Projected, pixel_offset, strip_cfg: RasterConfig
+    proj: Projected,
+    pixel_offset,
+    strip_cfg: RasterConfig,
+    tile_aligned: bool | None = None,
 ) -> Projected:
     """Re-target a full-image projection to a sub-rectangle: shift the 2D
     means into the strip's pixel frame and recompute the tile rect against
     the strip's grid. Used by the tile-sharded path AFTER all-gathering
-    primitive-sharded preprocess results."""
+    primitive-sharded preprocess results.
+
+    tile_aligned: assert that pixel_offset is a multiple of the tile size
+    (required for traced offsets, auto-detected for static ints). When
+    aligned, the (anisotropic-tight) full-image rect is shifted exactly
+    instead of re-deriving a square bbox from the isotropic radius — this
+    keeps the sharded render's tile-inclusion set identical to the
+    single-device one."""
     means2d = proj.means2d - jnp.asarray(
         [pixel_offset[0], pixel_offset[1]], jnp.float32
     )
-    rect, valid = rect_for_grid(means2d, proj.radii, strip_cfg)
+    ox, oy = pixel_offset
+    if tile_aligned is None:
+        tile_aligned = (
+            isinstance(ox, int)
+            and isinstance(oy, int)
+            and ox % strip_cfg.tile_w == 0
+            and oy % strip_cfg.tile_h == 0
+        )
+    if tile_aligned:
+        tox = (jnp.asarray(ox) // strip_cfg.tile_w).astype(jnp.int32)
+        toy = (jnp.asarray(oy) // strip_cfg.tile_h).astype(jnp.int32)
+        tx0 = jnp.clip(proj.rect[:, 0] - tox, 0, strip_cfg.tiles_x)
+        ty0 = jnp.clip(proj.rect[:, 1] - toy, 0, strip_cfg.tiles_y)
+        tx1 = jnp.clip(proj.rect[:, 2] - tox, 0, strip_cfg.tiles_x)
+        ty1 = jnp.clip(proj.rect[:, 3] - toy, 0, strip_cfg.tiles_y)
+        rect = jnp.stack([tx0, ty0, tx1, ty1], axis=-1)
+        valid = proj.valid & ((tx1 - tx0) * (ty1 - ty0) > 0)
+    else:
+        rect, valid = rect_for_grid(means2d, proj.radii, strip_cfg)
     return proj._replace(means2d=means2d, rect=rect, valid=valid)
 
 

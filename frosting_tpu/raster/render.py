@@ -20,7 +20,11 @@ import numpy as np
 from frosting_tpu.cameras import Camera
 from frosting_tpu.raster import blend_jax
 from frosting_tpu.raster.binning import Binned, bin_gaussians
-from frosting_tpu.raster.config import RasterConfig
+from frosting_tpu.raster.config import (
+    INSTANCE_FIELDS_USED,
+    INSTANCE_WIDTH,
+    RasterConfig,
+)
 from frosting_tpu.raster.preprocess import Projected, pack_fields, preprocess
 
 
@@ -45,8 +49,16 @@ def _gather_padded(fields_ext, binned: Binned, cfg: RasterConfig):
     twin uses the flat row layout."""
     if cfg_backend(cfg) == "pallas":
         w = fields_ext.shape[1]
-        fields_t = fields_ext.T  # [16, N+1]
+        # gather only the USED field rows (9 of 16): jnp.take on this
+        # runtime is element-rate bound, so the 7 all-zero reserved rows
+        # cost as much as real data; they are re-padded by the (cheap,
+        # sequential-write) block-layout relayout below
+        u = INSTANCE_FIELDS_USED
+        fields_t = fields_ext.T[:u]  # [9, N+1]
         padded_t = jnp.take(fields_t, binned.padded_gauss, axis=1)
+        padded_t = jnp.concatenate(
+            [padded_t, jnp.zeros((w - u, padded_t.shape[1]), jnp.float32)]
+        )
         return padded_t.reshape(w, cfg.n_blocks, cfg.chunk).swapaxes(0, 1)
     return jnp.take(fields_ext, binned.padded_gauss, axis=0)
 
@@ -76,17 +88,27 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
         grads3 = blend_pallas.blend_backward_pallas(
             padded, binned, out, g_out, cfg
         )  # [n_blocks, 16, K]
-        w = grads3.shape[1]
-        grads_t = grads3.swapaxes(0, 1).reshape(w, cfg.padded_rows)
-        grads_orig_t = jnp.take(grads_t, binned.inv_map, axis=1)  # [16, cap]
+        # rows 9..15 are zero by construction; reduce only the used 9
+        # (the inv_map gather is the expensive step and is element-rate
+        # bound on this runtime)
+        u = INSTANCE_FIELDS_USED
+        grads_t = grads3[:, :u].swapaxes(0, 1).reshape(u, cfg.padded_rows)
+        grads_orig_t = jnp.take(grads_t, binned.inv_map, axis=1)  # [9, cap]
         prefix_t = jnp.concatenate(
             [
-                jnp.zeros((w, 1), grads_orig_t.dtype),
+                jnp.zeros((u, 1), grads_orig_t.dtype),
                 jnp.cumsum(grads_orig_t, axis=1),
             ],
             axis=1,
         )
-        rows = (prefix_t[:, b[1:]] - prefix_t[:, b[:-1]]).T  # [N, 16]
+        rows9 = (prefix_t[:, b[1:]] - prefix_t[:, b[:-1]]).T  # [N, 9]
+        rows = jnp.concatenate(
+            [
+                rows9,
+                jnp.zeros((rows9.shape[0], INSTANCE_WIDTH - u), jnp.float32),
+            ],
+            axis=1,
+        )
     else:
         grads_inst = blend_jax.blend_backward_jax(
             padded, binned, out, g_out, cfg
