@@ -59,9 +59,13 @@ def main():
             lambda g, c: count_instances(*g, c, probe_cfg)
         )(gs, cam)
     )
+    # safety 1.25: the bench scene's camera set is fixed, so the per-view
+    # instance count is known exactly (a production deployment autotunes
+    # from its calibration views the same way; the overflow flag guards
+    # under-sizing and triggers re-tuning).
     cfg = RasterConfig(
         width=512, height=512, chunk=128,
-        max_instances=autotune_max_instances(n_inst, 128),
+        max_instances=autotune_max_instances(n_inst, 128, safety=1.25),
         backend="auto",
     )
     target = jnp.zeros((3, 512, 512), jnp.float32)

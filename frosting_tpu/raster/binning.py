@@ -126,19 +126,28 @@ def bin_gaussians(
         jnp.zeros((n,), i32).at[depth_order].set(jnp.arange(n, dtype=i32))
     )
 
-    i_tx0 = decode(tx0)
-    i_ty0 = decode(ty0)
-    i_w = jnp.maximum(decode(w), 1)
+    # Three decode channels instead of five: the tile-rect fields are
+    # bit-packed into one channel (base = ty0*tiles_x + tx0 in the high
+    # bits, w in the low 9). Packing is exact under the telescoping-diff
+    # cumsum because it is linear: per-field deltas may borrow across bit
+    # boundaries in an individual diff, but every PARTIAL SUM of the delta
+    # stream is an actual packed value. Each decode is a cap-sized
+    # scatter + cumsum, the dominant binning cost class on this runtime.
+    if cfg.n_tiles > (1 << 16) or cfg.tiles_x > 511:
+        raise ValueError("tile grid too large for packed binning decode")
+    base = ty0 * cfg.tiles_x + tx0
     i_off = decode(offs)
+    i_bw = decode(base * 512 + w)
+    i_base = i_bw >> 9
+    i_w = jnp.maximum(i_bw & 511, 1)
     i_rank = inst - i_off
     # small-int div via f32 (exact for values < 2^24)
     rr = i_rank.astype(jnp.float32)
     ww = i_w.astype(jnp.float32)
     ry = jnp.floor(rr / ww)
-    tile_x = i_tx0 + (rr - ry * ww).astype(i32)
-    tile_y = i_ty0 + ry.astype(i32)
+    rx = (rr - ry * ww).astype(i32)
     tile_id = jnp.where(
-        inst_valid, tile_y * cfg.tiles_x + tile_x, cfg.n_tiles
+        inst_valid, i_base + ry.astype(i32) * cfg.tiles_x + rx, cfg.n_tiles
     ).astype(i32)
     inst_rank = jnp.where(inst_valid, decode(depth_rank), n).astype(i32)
     inst_gauss = jnp.where(inst_valid, gauss_c, n).astype(i32)
@@ -164,10 +173,14 @@ def bin_gaussians(
     padded_off = jnp.concatenate(
         [jnp.zeros((1,), i32), jnp.cumsum(padded_counts)[:-1].astype(i32)]
     )
-    # destination row of sorted instance i
+    # destination row of sorted instance i: ONE small-table gather
+    # (pad_before = padded_off - start folds the two lookups into one)
+    pad_before = padded_off - start
     tile_ci = jnp.minimum(tile_s, cfg.n_tiles - 1)
     in_range = tile_s < cfg.n_tiles
-    dest = padded_off[tile_ci] + (jnp.arange(cap, dtype=i32) - start[tile_ci])
+    dest = jnp.arange(cap, dtype=i32) + jnp.take(
+        pad_before, tile_ci, mode="clip"
+    )
     dest = jnp.where(in_range, dest, cfg.padded_rows - 1)
     padded_gauss = jnp.full((cfg.padded_rows,), n, i32).at[dest].set(
         jnp.where(in_range, gauss_s, n)

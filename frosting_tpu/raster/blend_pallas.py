@@ -99,12 +99,14 @@ def _forward_kernel(
             dma(1 - slot, s + 1).start()
 
         dma(slot, s).wait()
+        # Gate chunks only on the (scalar-compare) in-range test: per-pixel
+        # saturation exactness is carried by the m/w masks in chunk_math,
+        # and the early-stop test runs once per superblock in `cond`. A
+        # per-chunk max(t_all) here would be a cross-sublane-to-scalar
+        # reduction — measured to dominate the per-tile floor.
         for jj in range(sb):
-            live = (s * sb + jj < n) & (
-                jnp.max(t_all) >= chunk_math.TRANSMITTANCE_EPS
-            )
             t_all, t_mask, color = jax.lax.cond(
-                live,
+                s * sb + jj < n,
                 lambda ta, tm, co, jj=jj: chunk_math.forward_chunk(
                     buf_ref[slot, jj], ta, tm, co, px, py
                 ),
@@ -260,12 +262,12 @@ def _backward_kernel(
         def _():
             out_dma(slot, 0).wait()
 
+        # Gate on the scalar in-range test only (see the forward kernel):
+        # for saturated pixels the m-mask makes every gradient row exactly
+        # zero, so no per-chunk max(t_all) scalar reduction is needed.
         for jj in range(sb):
             j = s * sb + jj
             in_range = j < n
-            live = in_range & (
-                jnp.max(t_all) >= chunk_math.TRANSMITTANCE_EPS
-            )
 
             def real(ta, gp, jj=jj):
                 return chunk_math.backward_chunk(
@@ -281,7 +283,7 @@ def _backward_kernel(
                 )
 
             grad_t, t_all, gc_pre = jax.lax.cond(
-                live, real, dead, t_all, gc_pre
+                in_range, real, dead, t_all, gc_pre
             )
 
             # every chunk of the superblock is written (zeros when dead or

@@ -51,8 +51,8 @@ def _shift_right(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
     )
 
 
-def cumprod_excl(x: jnp.ndarray) -> jnp.ndarray:
-    """Exclusive cumulative product along axis 1 via a Hillis-Steele scan
+def cumprod_incl(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative product along axis 1 via a Hillis-Steele scan
     (log2(K) shifted multiplies). Linear-space, exactly the sequential
     product recurrence of renderCUDA — no log/exp round-trip."""
     k = x.shape[1]
@@ -61,7 +61,12 @@ def cumprod_excl(x: jnp.ndarray) -> jnp.ndarray:
     while s < k:
         y = y * _shift_right(y, s, 1.0)
         s *= 2
-    return _shift_right(y, 1, 1.0)
+    return y
+
+
+def cumprod_excl(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive cumulative product along axis 1 (see cumprod_incl)."""
+    return _shift_right(cumprod_incl(x), 1, 1.0)
 
 
 def tree_prod(x: jnp.ndarray) -> jnp.ndarray:
@@ -95,6 +100,7 @@ class ChunkCommon(NamedTuple):
     raw: jnp.ndarray  # (P, K) opacity * exp(power), pre-clamp
     one_minus: jnp.ndarray  # (P, K) 1 - alpha
     t_before: jnp.ndarray  # (P, K)
+    t_after_all: jnp.ndarray  # (P, 1) t_all after this whole chunk
     m: jnp.ndarray  # (P, K) contribution mask (bool)
     w: jnp.ndarray  # (P, K) blend weights
     power: jnp.ndarray  # (P, K)
@@ -121,11 +127,17 @@ def _chunk_common(fields, t_all, px, py) -> ChunkCommon:
     one_minus = 1.0 - alpha
     # linear-space transmittance scan: exactly the sequential recurrence of
     # renderCUDA (forward.cu:343-351); log2(K) shifted multiplies, no
-    # log/exp round-trip (transcendentals dominate the kernel otherwise)
-    t_before = t_all * cumprod_excl(one_minus)
+    # log/exp round-trip (transcendentals dominate the kernel otherwise).
+    # The scan's last (inclusive) column doubles as the whole-chunk product
+    # so the t_all update costs a lane slice, not a second reduction tree.
+    incl = cumprod_incl(one_minus)
+    t_before = t_all * _shift_right(incl, 1, 1.0)
+    t_after_all = t_all * incl[:, -1:]
     m = t_before * one_minus >= TRANSMITTANCE_EPS
     w = jnp.where(m, alpha * t_before, 0.0)
-    return ChunkCommon(alpha, raw, one_minus, t_before, m, w, power, dx, dy)
+    return ChunkCommon(
+        alpha, raw, one_minus, t_before, t_after_all, m, w, power, dx, dy
+    )
 
 
 def forward_chunk(fields, t_all, t_mask, color, px, py):
@@ -137,9 +149,8 @@ def forward_chunk(fields, t_all, t_mask, color, px, py):
     c = _chunk_common(fields, t_all, px, py)
     cols = fields[6:9, :]  # (3, K)
     color = color + dot_pk(c.w, cols)
-    t_all = t_all * tree_prod(c.one_minus)
     t_mask = t_mask * tree_prod(jnp.where(c.m, c.one_minus, 1.0))
-    return t_all, t_mask, color
+    return c.t_after_all, t_mask, color
 
 
 def dot_pk(w, cols):
@@ -228,6 +239,5 @@ def backward_chunk(
         [dmx, dmy, dca, dcb, dcc, dop, dcol, zeros], axis=0
     )
 
-    t_all = t_all * tree_prod(c.one_minus)
-    gc_pre = gc_pre + jnp.sum(contrib, axis=1, keepdims=True)
-    return grad_rows, t_all, gc_pre
+    gc_pre = gc_pre + cum_incl[:, -1:]
+    return grad_rows, c.t_after_all, gc_pre

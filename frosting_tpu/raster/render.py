@@ -55,12 +55,16 @@ def _gather_padded(fields_ext, binned: Binned, cfg: RasterConfig):
         # sequential-write) block-layout relayout below
         u = INSTANCE_FIELDS_USED
         fields_t = fields_ext.T[:u]  # [9, N+1]
-        padded_t = jnp.take(fields_t, binned.padded_gauss, axis=1)
+        # mode="clip": indices are in-bounds by construction (sentinel row
+        # N); the default fill mode adds a full-size select pass
+        padded_t = jnp.take(
+            fields_t, binned.padded_gauss, axis=1, mode="clip"
+        )
         padded_t = jnp.concatenate(
             [padded_t, jnp.zeros((w - u, padded_t.shape[1]), jnp.float32)]
         )
         return padded_t.reshape(w, cfg.n_blocks, cfg.chunk).swapaxes(0, 1)
-    return jnp.take(fields_ext, binned.padded_gauss, axis=0)
+    return jnp.take(fields_ext, binned.padded_gauss, axis=0, mode="clip")
 
 
 def _blend_impl(padded, binned: Binned, cfg: RasterConfig):
@@ -93,7 +97,9 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
         # bound on this runtime)
         u = INSTANCE_FIELDS_USED
         grads_t = grads3[:, :u].swapaxes(0, 1).reshape(u, cfg.padded_rows)
-        grads_orig_t = jnp.take(grads_t, binned.inv_map, axis=1)  # [9, cap]
+        grads_orig_t = jnp.take(
+            grads_t, binned.inv_map, axis=1, mode="clip"
+        )  # [9, cap]
         prefix_t = jnp.concatenate(
             [
                 jnp.zeros((u, 1), grads_orig_t.dtype),
