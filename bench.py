@@ -83,13 +83,17 @@ def main():
 
     grad_opac = jax.grad(loss_fn, argnums=3)
 
+    # Both means AND opacities are perturbed per iteration: a training step
+    # moves every parameter, and perturbing the means keeps the whole
+    # binning pipeline (projection-dependent) inside the measured loop —
+    # opacity-only perturbation would let XLA hoist it as loop-invariant.
     @jax.jit
     def bench_prog(means, scales, quats, opac, sh, camera, tgt, salt):
         def body(i, acc):
-            opac_i = jnp.clip(
-                opac + 0.001 * i.astype(jnp.float32) + salt, 0, 1
-            )
-            g = grad_opac(means, scales, quats, opac_i, sh, camera, tgt)
+            it = i.astype(jnp.float32)
+            opac_i = jnp.clip(opac + 0.001 * it + salt, 0, 1)
+            means_i = means + 1e-5 * it + salt * 1e-3
+            g = grad_opac(means_i, scales, quats, opac_i, sh, camera, tgt)
             return acc + jnp.sum(jnp.abs(g))
 
         return jax.lax.fori_loop(0, iters, body, 0.0)
@@ -97,10 +101,10 @@ def main():
     @jax.jit
     def bench_fwd(means, scales, quats, opac, sh, camera, salt):
         def body(i, acc):
-            opac_i = jnp.clip(
-                opac + 0.001 * i.astype(jnp.float32) + salt, 0, 1
-            )
-            out = render(means, scales, quats, opac_i, sh, camera, cfg)
+            it = i.astype(jnp.float32)
+            opac_i = jnp.clip(opac + 0.001 * it + salt, 0, 1)
+            means_i = means + 1e-5 * it + salt * 1e-3
+            out = render(means_i, scales, quats, opac_i, sh, camera, cfg)
             return acc + jnp.sum(out.image)
 
         return jax.lax.fori_loop(0, iters, body, 0.0)

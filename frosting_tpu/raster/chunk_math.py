@@ -233,11 +233,9 @@ def backward_chunk(
         precision=jax.lax.Precision.HIGHEST,
     )
 
-    k = fields.shape[1]
-    zeros = jnp.zeros((INSTANCE_WIDTH - 9, k), jnp.float32)
     grad_rows = jnp.concatenate(
-        [dmx, dmy, dca, dcb, dcc, dop, dcol, zeros], axis=0
-    )
+        [dmx, dmy, dca, dcb, dcc, dop, dcol], axis=0
+    )  # (INSTANCE_WIDTH, K)
 
     gc_pre = gc_pre + cum_incl[:, -1:]
     return grad_rows, c.t_after_all, gc_pre

@@ -13,9 +13,10 @@ import dataclasses
 #   2: conic.a    3: conic.b     4: conic.c
 #   5: opacity
 #   6: color.r    7: color.g     8: color.b
-#   9..15: reserved (zero)
-INSTANCE_WIDTH = 16
-# Rows 0..8 carry data; 9..15 are reserved zeros (DMA alignment padding).
+# The physical sublane padding of the 9-row dimension (to the (8,128) tile
+# grid) is left to the compiler; carrying explicit zero rows cost a
+# full-buffer pad pass per step.
+INSTANCE_WIDTH = 9
 INSTANCE_FIELDS_USED = 9
 
 # Alpha-compositing constants, matching renderCUDA (forward.cu:310-351).

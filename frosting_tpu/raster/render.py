@@ -49,19 +49,11 @@ def _gather_padded(fields_ext, binned: Binned, cfg: RasterConfig):
     twin uses the flat row layout."""
     if cfg_backend(cfg) == "pallas":
         w = fields_ext.shape[1]
-        # gather only the USED field rows (9 of 16): jnp.take on this
-        # runtime is element-rate bound, so the 7 all-zero reserved rows
-        # cost as much as real data; they are re-padded by the (cheap,
-        # sequential-write) block-layout relayout below
-        u = INSTANCE_FIELDS_USED
-        fields_t = fields_ext.T[:u]  # [9, N+1]
+        fields_t = fields_ext.T  # [9, N+1], small enough to stay in VMEM
         # mode="clip": indices are in-bounds by construction (sentinel row
         # N); the default fill mode adds a full-size select pass
         padded_t = jnp.take(
             fields_t, binned.padded_gauss, axis=1, mode="clip"
-        )
-        padded_t = jnp.concatenate(
-            [padded_t, jnp.zeros((w - u, padded_t.shape[1]), jnp.float32)]
         )
         return padded_t.reshape(w, cfg.n_blocks, cfg.chunk).swapaxes(0, 1)
     return jnp.take(fields_ext, binned.padded_gauss, axis=0, mode="clip")
@@ -91,12 +83,9 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
 
         grads3 = blend_pallas.blend_backward_pallas(
             padded, binned, out, g_out, cfg
-        )  # [n_blocks, 16, K]
-        # rows 9..15 are zero by construction; reduce only the used 9
-        # (the inv_map gather is the expensive step and is element-rate
-        # bound on this runtime)
+        )  # [n_blocks, 9, K]
         u = INSTANCE_FIELDS_USED
-        grads_t = grads3[:, :u].swapaxes(0, 1).reshape(u, cfg.padded_rows)
+        grads_t = grads3.swapaxes(0, 1).reshape(u, cfg.padded_rows)
         grads_orig_t = jnp.take(
             grads_t, binned.inv_map, axis=1, mode="clip"
         )  # [9, cap]
@@ -107,14 +96,7 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
             ],
             axis=1,
         )
-        rows9 = (prefix_t[:, b[1:]] - prefix_t[:, b[:-1]]).T  # [N, 9]
-        rows = jnp.concatenate(
-            [
-                rows9,
-                jnp.zeros((rows9.shape[0], INSTANCE_WIDTH - u), jnp.float32),
-            ],
-            axis=1,
-        )
+        rows = (prefix_t[:, b[1:]] - prefix_t[:, b[:-1]]).T  # [N, 9]
     else:
         grads_inst = blend_jax.blend_backward_jax(
             padded, binned, out, g_out, cfg

@@ -1,0 +1,92 @@
+"""Trace the fori-loop bench program and print per-op device times.
+
+The per-dispatch profile is NOT representative of the in-loop execution
+(dispatch mode pays extra copies and different scheduling); this traces the
+actual benchmark program.
+"""
+
+import collections
+import glob
+import gzip
+import json
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from frosting_tpu.cameras import look_at_camera
+    from frosting_tpu.raster import RasterConfig, render
+
+    rng = np.random.default_rng(0)
+    n = 100_000
+    means = rng.uniform(-0.7, 0.7, (n, 3))
+    scales = np.exp(rng.uniform(np.log(0.008), np.log(0.04), (n, 3)))
+    quats = rng.normal(size=(n, 4))
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.3, 0.95, n)
+    sh = rng.normal(size=(n, 16, 3)) * 0.2
+    sh[:, 0] = (means + 1.0) * 0.7
+    gs = tuple(
+        jnp.asarray(a, jnp.float32) for a in (means, scales, quats, opac, sh)
+    )
+    cam = look_at_camera(eye=[0.0, 0.0, -3.0], target=[0.0, 0.0, 0.0])
+    cfg = RasterConfig(
+        width=512, height=512, chunk=128, max_instances=1 << 20,
+        backend="pallas",
+    )
+    target = jnp.zeros((3, 512, 512), jnp.float32)
+    iters = 10
+
+    def loss_fn(m, s, q, o, shh, camera, tgt):
+        out = render(m, s, q, o, shh, camera, cfg)
+        return jnp.mean(jnp.abs(out.image - tgt))
+
+    grad_opac = jax.grad(loss_fn, argnums=3)
+
+    @jax.jit
+    def bench_prog(means, scales, quats, opac, sh, camera, tgt, salt):
+        def body(i, acc):
+            o = jnp.clip(opac + 0.001 * i.astype(jnp.float32) + salt, 0, 1)
+            g = grad_opac(means, scales, quats, o, sh, camera, tgt)
+            return acc + jnp.sum(jnp.abs(g))
+
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    r = float(bench_prog(*gs, cam, target, 0.0))
+    with jax.profiler.trace("/tmp/trace3"):
+        r = float(bench_prog(*gs, cam, target, 0.0171))
+    print("ran", r)
+    d = sorted(glob.glob("/tmp/trace3/plugins/profile/*"))[-1]
+    with gzip.open(glob.glob(d + "/*.trace.json.gz")[0]) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in ev
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    tnames = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tnames[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    dur = collections.Counter()
+    cnt = collections.Counter()
+    for e in ev:
+        if (
+            e.get("ph") == "X"
+            and "TPU" in pids.get(e.get("pid"), "")
+            and tnames.get((e["pid"], e["tid"])) == "XLA Ops"
+        ):
+            dur[e["name"]] += e.get("dur", 0)
+            cnt[e["name"]] += 1
+    tot = sum(dur.values())
+    print(f"total XLA-op us: {tot:.0f}  per-iter: {tot / iters:.0f}")
+    for nm, dd in dur.most_common(34):
+        print(f"{dd / iters:9.1f} us/it x{cnt[nm] // iters:3d}  {nm[:78]}")
+
+
+if __name__ == "__main__":
+    main()
