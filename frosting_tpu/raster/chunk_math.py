@@ -95,6 +95,19 @@ def cumsum_incl(x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def tile_basis(px, py, cx, cy):
+    """Pixel monomial basis (P, 6): [1, x, y, x*x, y*y, x*y] of
+    TILE-CENTERED coordinates x = px - cx, y = py - cy. Centering keeps the
+    quadratic expansion of `power` cancellation-free (|x| <= tile_w/2).
+    Computed once per tile; the per-chunk `power` becomes one skinny MXU
+    matmul against per-gaussian coefficient rows instead of dx/dy
+    elementwise math (the blend kernels are VPU-issue-bound)."""
+    x = px - cx
+    y = py - cy
+    one = jnp.ones_like(x)
+    return jnp.concatenate([one, x, y, x * x, y * y, x * y], axis=1)
+
+
 class ChunkCommon(NamedTuple):
     alpha: jnp.ndarray  # (P, K)
     raw: jnp.ndarray  # (P, K) opacity * exp(power), pre-clamp
@@ -104,23 +117,39 @@ class ChunkCommon(NamedTuple):
     m: jnp.ndarray  # (P, K) contribution mask (bool)
     w: jnp.ndarray  # (P, K) blend weights
     power: jnp.ndarray  # (P, K)
-    dx: jnp.ndarray  # (P, K)
-    dy: jnp.ndarray  # (P, K)
+    mxc: jnp.ndarray  # (1, K) tile-centered mean x
+    myc: jnp.ndarray  # (1, K) tile-centered mean y
 
 
-def _chunk_common(fields, t_all, px, py) -> ChunkCommon:
-    """Shared forward recomputation. fields (16, K) f32 component rows;
-    t_all (P, 1); px, py (P, 1) pixel-center coordinates."""
-    mx = fields[0:1, :]  # (1, K)
-    my = fields[1:2, :]
+def _chunk_common(fields, t_all, basis, cx, cy) -> ChunkCommon:
+    """Shared forward recomputation. fields (W, K) f32 component rows;
+    t_all (P, 1); basis (P, 6) = tile_basis(...); cx, cy tile center.
+
+    power(p, k) = -0.5 (ca dx^2 + cc dy^2) - cb dx dy with dx = mx - px is
+    a quadratic in the centered pixel coords, so it is evaluated as ONE
+    (P, 6) @ (6, K) matmul: the per-(pixel, gaussian) elementwise work
+    moves from the saturated VPU to the idle MXU. The (1, K) coefficient
+    rows cost ~1/P of an elementwise op each."""
+    mxc = fields[0:1, :] - cx  # (1, K) centered means
+    myc = fields[1:2, :] - cy
     ca = fields[2:3, :]
     cb = fields[3:4, :]
     cc = fields[4:5, :]
     op = fields[5:6, :]
 
-    dx = mx - px  # (P, K)
-    dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    a_const = -0.5 * (ca * mxc * mxc + cc * myc * myc) - cb * mxc * myc
+    a_x = ca * mxc + cb * myc
+    a_y = cc * myc + cb * mxc
+    coeff = jnp.concatenate(
+        [a_const, a_x, a_y, -0.5 * ca, -0.5 * cc, -cb], axis=0
+    )  # (6, K)
+    power = jax.lax.dot_general(
+        basis,
+        coeff,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (P, K)
     raw = op * jnp.exp(power)
     alpha = jnp.minimum(ALPHA_CLAMP, raw)
     alpha = jnp.where((power > 0.0) | (raw < ALPHA_CUTOFF), 0.0, alpha)
@@ -136,17 +165,18 @@ def _chunk_common(fields, t_all, px, py) -> ChunkCommon:
     m = t_before * one_minus >= TRANSMITTANCE_EPS
     w = jnp.where(m, alpha * t_before, 0.0)
     return ChunkCommon(
-        alpha, raw, one_minus, t_before, t_after_all, m, w, power, dx, dy
+        alpha, raw, one_minus, t_before, t_after_all, m, w, power, mxc, myc
     )
 
 
-def forward_chunk(fields, t_all, t_mask, color, px, py):
+def forward_chunk(fields, t_all, t_mask, color, basis, cx, cy):
     """One chunk of the forward blend.
 
-    Args: fields (16, K); t_all, t_mask (P, 1); color (P, 3); px, py (P, 1).
+    Args: fields (W, K); t_all, t_mask (P, 1); color (P, 3);
+    basis (P, 6) from tile_basis; cx, cy tile-center coords.
     Returns updated (t_all, t_mask, color).
     """
-    c = _chunk_common(fields, t_all, px, py)
+    c = _chunk_common(fields, t_all, basis, cx, cy)
     cols = fields[6:9, :]  # (3, K)
     color = color + dot_pk(c.w, cols)
     t_mask = t_mask * tree_prod(jnp.where(c.m, c.one_minus, 1.0))
@@ -165,21 +195,23 @@ def dot_pk(w, cols):
 
 
 def backward_chunk(
-    fields,  # (16, K)
+    fields,  # (W, K)
     g_color,  # (P, 3) dL/dC for this tile
     g_tmask,  # (P, 1) dL/dT_final
     gc_total,  # (P, 1) sum_ch g_color * C_total (precomputed per tile)
     t_final_mask,  # (P, 1) saved final masked transmittance
     t_all,  # (P, 1) carried
     gc_pre,  # (P, 1) carried sum_ch g_color * C_prefix
-    px,
-    py,
+    basis,  # (P, 6) tile_basis
+    basis_t,  # (6, P) its transpose (built once per tile, not per chunk)
+    cx,
+    cy,
 ):
     """One chunk of the backward blend (forward-order re-walk).
 
-    Returns (grad_rows (16, K), t_all', gc_pre').
+    Returns (grad_rows (W, K), t_all', gc_pre').
     """
-    c = _chunk_common(fields, t_all, px, py)
+    c = _chunk_common(fields, t_all, basis, cx, cy)
     cols = fields[6:9, :]  # (3, K)
     op = fields[5:6, :]
 
@@ -205,25 +237,43 @@ def backward_chunk(
 
     live = (c.power <= 0.0) & (c.raw >= ALPHA_CUTOFF)
     not_clamped = c.raw < ALPHA_CLAMP
-    op_safe = jnp.where(op == 0.0, 1.0, op)
-    g_exp = c.raw / op_safe  # = exp(power), no second transcendental
-    dop_pix = jnp.where(live & not_clamped, dalpha * g_exp, 0.0)
     dpower = jnp.where(live & not_clamped, dalpha * c.alpha, 0.0)
 
+    # ALL per-gaussian spatial gradients are moments of dpower against the
+    # pixel monomial basis: one (6, P) @ (P, K) MXU matmul replaces five
+    # (P, K) elementwise product chains + six cross-sublane reductions.
+    #   M = [sum dp, sum dp*x, sum dp*y, sum dp*x^2, sum dp*y^2, sum dp*x*y]
+    mom = jax.lax.dot_general(
+        basis_t,
+        dpower,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (6, K)
+    m0 = mom[0:1]
+    m_x = mom[1:2]
+    m_y = mom[2:3]
+    m_xx = mom[3:4]
+    m_yy = mom[4:5]
+    m_xy = mom[5:6]
+
+    mxc, myc = c.mxc, c.myc
     ca = fields[2:3, :]
     cb = fields[3:4, :]
     cc = fields[4:5, :]
-    ddx = dpower * (-(ca * c.dx + cb * c.dy))
-    ddy = dpower * (-(cc * c.dy + cb * c.dx))
-
-    # per-gaussian reductions over pixels (sublanes) -> (1, K) rows that
-    # stack DIRECTLY into the (16, K) gradient block layout
-    dmx = jnp.sum(ddx, axis=0, keepdims=True)
-    dmy = jnp.sum(ddy, axis=0, keepdims=True)
-    dca = jnp.sum(dpower * (-0.5) * c.dx * c.dx, axis=0, keepdims=True)
-    dcb = jnp.sum(dpower * (-c.dx * c.dy), axis=0, keepdims=True)
-    dcc = jnp.sum(dpower * (-0.5) * c.dy * c.dy, axis=0, keepdims=True)
-    dop = jnp.sum(dop_pix, axis=0, keepdims=True)
+    # dx = mxc - x  =>  sum dp*dx = mxc*m0 - m_x, etc. (all (1, K) rows)
+    s_x = mxc * m0 - m_x
+    s_y = myc * m0 - m_y
+    dmx = -(ca * s_x + cb * s_y)
+    dmy = -(cc * s_y + cb * s_x)
+    dca = -0.5 * (mxc * mxc * m0 - 2.0 * mxc * m_x + m_xx)
+    dcc = -0.5 * (myc * myc * m0 - 2.0 * myc * m_y + m_yy)
+    dcb = -(mxc * myc * m0 - mxc * m_y - myc * m_x + m_xy)
+    # dop_pix = dalpha*exp(power) = dpower/op wherever dpower is nonzero
+    # (there alpha == raw == op*exp(power)), so dop = m0/op — no extra
+    # per-pixel pass and no second reduction.
+    op_safe = jnp.where(op == 0.0, 1.0, op)
+    dop = m0 / op_safe
     # dL/dcolor_ck = sum_p g_color_pc w_pk : (3, K)
     dcol = jax.lax.dot_general(
         g_color,

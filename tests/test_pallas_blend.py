@@ -53,6 +53,10 @@ def test_pallas_gradients_match_jax():
     for name, a, b in zip(["means", "scales", "quats", "opac", "sh"], g_p, g_j):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-8
+        # atol 5e-5 (normalized): the basis-matmul form of power/moments
+        # (chunk_math.tile_basis) reassociates the quadratic terms, so the
+        # two backends can differ by a few ULP-amplification steps on
+        # far-from-tile-center gaussians (max observed 2.3e-5).
         np.testing.assert_allclose(
-            a / scale, b / scale, atol=1e-5, err_msg=f"grad mismatch: {name}"
+            a / scale, b / scale, atol=5e-5, err_msg=f"grad mismatch: {name}"
         )
