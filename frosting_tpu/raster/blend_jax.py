@@ -14,17 +14,22 @@ from frosting_tpu.raster.binning import Binned
 from frosting_tpu.raster.config import RasterConfig
 
 
-def _pixel_basis(px0, py0, cfg: RasterConfig):
-    """(basis (P, 6), cx, cy) for a tile at (px0, py0) (P-major
-    orientation, matching chunk_math). cx/cy is the tile's mean pixel
-    coordinate; the basis uses tile-centered coords (see tile_basis)."""
+def _pixel_coords(px0, py0, cfg: RasterConfig):
+    """(P, 1) pixel-center coordinate columns for a tile at (px0, py0)
+    (P-major orientation, matching chunk_math)."""
     p = cfg.tile_pixels
     sub = jnp.arange(p, dtype=jnp.int32)
     px = (px0 + sub % cfg.tile_w).astype(jnp.float32)[:, None]
     py = (py0 + sub // cfg.tile_w).astype(jnp.float32)[:, None]
+    return px, py
+
+
+def _pixel_basis_t(px, py, px0, py0, cfg: RasterConfig):
+    """(basis_t (6, P), cx, cy) for the backward moment matmul; cx/cy is
+    the tile's mean pixel coordinate (see chunk_math.tile_basis_t)."""
     cx = px0.astype(jnp.float32) + 0.5 * (cfg.tile_w - 1)
     cy = py0.astype(jnp.float32) + 0.5 * (cfg.tile_h - 1)
-    return chunk_math.tile_basis(px, py, cx, cy), cx, cy
+    return chunk_math.tile_basis_t(px.T, py.T, cx, cy), cx, cy
 
 
 def blend_forward_jax(
@@ -55,9 +60,9 @@ def blend_forward_jax(
         t_all = jnp.where(first == 1, jnp.ones_like(t_all), t_all)
         t_mask = jnp.where(first == 1, jnp.ones_like(t_mask), t_mask)
         color = jnp.where(first == 1, jnp.zeros_like(color), color)
-        basis, cx, cy = _pixel_basis(px0, py0, cfg)
+        px, py = _pixel_coords(px0, py0, cfg)
         t_all, t_mask, color = chunk_math.forward_chunk(
-            fields.T, t_all, t_mask, color, basis, cx, cy
+            fields.T, t_all, t_mask, color, px, py
         )
         tile_out = jnp.concatenate([color.T, t_mask.T], axis=0)  # (4, P)
         # branchless conditional write (lax.cond breaks under shard_map's
@@ -111,10 +116,11 @@ def blend_backward_jax(
         c_total = f_tile[:3].T
         t_final_mask = f_tile[3:4].T
         gc_total = jnp.sum(g_color * c_total, axis=1, keepdims=True)
-        basis, cx, cy = _pixel_basis(px0, py0, cfg)
+        px, py = _pixel_coords(px0, py0, cfg)
+        basis_t, cx, cy = _pixel_basis_t(px, py, px0, py0, cfg)
         grad_rows, t_all, gc_pre = chunk_math.backward_chunk(
             fields.T, g_color, g_tmask, gc_total, t_final_mask,
-            t_all, gc_pre, basis, basis.T, cx, cy,
+            t_all, gc_pre, px, py, basis_t, cx, cy,
         )
         grads = jax.lax.dynamic_update_slice(
             grads, grad_rows.T, (block * k, 0)

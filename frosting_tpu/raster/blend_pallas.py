@@ -33,29 +33,31 @@ from frosting_tpu.raster.binning import Binned
 from frosting_tpu.raster.config import INSTANCE_WIDTH, RasterConfig
 
 
-def _tile_pixel_basis(t, cfg: RasterConfig, transpose: bool = False):
-    """(basis (P, 6), cx, cy) of tile `t` (traced scalar); built once per
-    program. With transpose=True also returns basis_t (6, P) constructed
-    directly from iotas (no in-kernel relayout)."""
+def _tile_pixel_coords(t, cfg: RasterConfig):
+    """(P, 1) pixel-center coordinate columns of tile `t` (traced scalar);
+    P-major orientation matches chunk_math (pixels on sublanes)."""
     p = cfg.tile_pixels
     px0 = jax.lax.rem(t, cfg.tiles_x) * cfg.tile_w
     py0 = jax.lax.div(t, cfg.tiles_x) * cfg.tile_h
     sub = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     px = (px0 + sub % cfg.tile_w).astype(jnp.float32)
     py = (py0 + sub // cfg.tile_w).astype(jnp.float32)
+    return px, py
+
+
+def _tile_pixel_basis_t(t, cfg: RasterConfig):
+    """(basis_t (6, P), cx, cy) of tile `t` for the backward moment
+    matmul; built once per program directly from lane iotas (no in-kernel
+    relayout)."""
+    p = cfg.tile_pixels
+    px0 = jax.lax.rem(t, cfg.tiles_x) * cfg.tile_w
+    py0 = jax.lax.div(t, cfg.tiles_x) * cfg.tile_h
     cx = px0.astype(jnp.float32) + 0.5 * (cfg.tile_w - 1)
     cy = py0.astype(jnp.float32) + 0.5 * (cfg.tile_h - 1)
-    basis = chunk_math.tile_basis(px, py, cx, cy)
-    if not transpose:
-        return basis, cx, cy
     sub_r = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    x_r = (px0 + sub_r % cfg.tile_w).astype(jnp.float32) - cx
-    y_r = (py0 + sub_r // cfg.tile_w).astype(jnp.float32) - cy
-    basis_t = jnp.concatenate(
-        [jnp.ones_like(x_r), x_r, y_r, x_r * x_r, y_r * y_r, x_r * y_r],
-        axis=0,
-    )  # (6, P)
-    return basis, basis_t, cx, cy
+    px_r = (px0 + sub_r % cfg.tile_w).astype(jnp.float32)
+    py_r = (py0 + sub_r // cfg.tile_w).astype(jnp.float32)
+    return chunk_math.tile_basis_t(px_r, py_r, cx, cy), cx, cy
 
 
 def _forward_kernel(
@@ -81,7 +83,7 @@ def _forward_kernel(
     p = cfg.tile_pixels
     sb = cfg.dma_superblock
     n_super = pl.cdiv(n, sb)
-    basis, cx, cy = _tile_pixel_basis(t, cfg)
+    px, py = _tile_pixel_coords(t, cfg)
 
     def dma(slot, s):
         # one copy fetches `sb` consecutive chunks; the buffer carries
@@ -121,7 +123,7 @@ def _forward_kernel(
             t_all, t_mask, color = jax.lax.cond(
                 s * sb + jj < n,
                 lambda ta, tm, co, jj=jj: chunk_math.forward_chunk(
-                    buf_ref[slot, jj], ta, tm, co, basis, cx, cy
+                    buf_ref[slot, jj], ta, tm, co, px, py
                 ),
                 lambda ta, tm, co: (ta, tm, co),
                 t_all, t_mask, color,
@@ -224,7 +226,8 @@ def _backward_kernel(
     p = cfg.tile_pixels
     sb = cfg.dma_superblock
     n_super = pl.cdiv(n, sb)
-    basis, basis_t, cx, cy = _tile_pixel_basis(t, cfg, transpose=True)
+    px, py = _tile_pixel_coords(t, cfg)
+    basis_t, cx, cy = _tile_pixel_basis_t(t, cfg)
 
     g_color = g_ref[0, 0:3].T  # (P, 3)
     g_tmask = g_ref[0, 3:4].T  # (P, 1)
@@ -285,7 +288,7 @@ def _backward_kernel(
             def real(ta, gp, jj=jj):
                 return chunk_math.backward_chunk(
                     buf_ref[slot, jj], g_color, g_tmask, gc_total,
-                    t_final_mask, ta, gp, basis, basis_t, cx, cy,
+                    t_final_mask, ta, gp, px, py, basis_t, cx, cy,
                 )
 
             def dead(ta, gp):

@@ -95,17 +95,24 @@ def cumsum_incl(x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def tile_basis(px, py, cx, cy):
-    """Pixel monomial basis (P, 6): [1, x, y, x*x, y*y, x*y] of
-    TILE-CENTERED coordinates x = px - cx, y = py - cy. Centering keeps the
-    quadratic expansion of `power` cancellation-free (|x| <= tile_w/2).
-    Computed once per tile; the per-chunk `power` becomes one skinny MXU
-    matmul against per-gaussian coefficient rows instead of dx/dy
-    elementwise math (the blend kernels are VPU-issue-bound)."""
-    x = px - cx
-    y = py - cy
+def tile_basis_t(px_row, py_row, cx, cy):
+    """Pixel monomial basis (6, P): rows [1, x, y, x*x, y*y, x*y] of
+    TILE-CENTERED coordinates x = px - cx, y = py - cy (px_row/py_row are
+    (1, P)). Centering keeps the quadratic moment combinations
+    cancellation-free (|x| <= tile_w/2). Built once per tile; the
+    backward's per-gaussian spatial reductions become one MXU matmul
+    against it (see backward_chunk).
+
+    NOTE: evaluating the forward `power` as a (P, 6) @ (6, K) matmul was
+    tried and MEASURED SLOWER on TPU v5e (bench 10.1 -> 9.5 Mpix/s): a
+    (P, K) matmul output at HIGHEST precision costs ~a full matmul pass
+    regardless of the 6-deep contraction, more than the 8 VPU ops it
+    replaces. The moment matmul below keeps a (6, K) output, which is
+    where the MXU trade actually wins."""
+    x = px_row - cx
+    y = py_row - cy
     one = jnp.ones_like(x)
-    return jnp.concatenate([one, x, y, x * x, y * y, x * y], axis=1)
+    return jnp.concatenate([one, x, y, x * x, y * y, x * y], axis=0)
 
 
 class ChunkCommon(NamedTuple):
@@ -117,39 +124,21 @@ class ChunkCommon(NamedTuple):
     m: jnp.ndarray  # (P, K) contribution mask (bool)
     w: jnp.ndarray  # (P, K) blend weights
     power: jnp.ndarray  # (P, K)
-    mxc: jnp.ndarray  # (1, K) tile-centered mean x
-    myc: jnp.ndarray  # (1, K) tile-centered mean y
 
 
-def _chunk_common(fields, t_all, basis, cx, cy) -> ChunkCommon:
+def _chunk_common(fields, t_all, px, py) -> ChunkCommon:
     """Shared forward recomputation. fields (W, K) f32 component rows;
-    t_all (P, 1); basis (P, 6) = tile_basis(...); cx, cy tile center.
-
-    power(p, k) = -0.5 (ca dx^2 + cc dy^2) - cb dx dy with dx = mx - px is
-    a quadratic in the centered pixel coords, so it is evaluated as ONE
-    (P, 6) @ (6, K) matmul: the per-(pixel, gaussian) elementwise work
-    moves from the saturated VPU to the idle MXU. The (1, K) coefficient
-    rows cost ~1/P of an elementwise op each."""
-    mxc = fields[0:1, :] - cx  # (1, K) centered means
-    myc = fields[1:2, :] - cy
+    t_all (P, 1); px, py (P, 1) pixel-center coordinates."""
+    mx = fields[0:1, :]  # (1, K)
+    my = fields[1:2, :]
     ca = fields[2:3, :]
     cb = fields[3:4, :]
     cc = fields[4:5, :]
     op = fields[5:6, :]
 
-    a_const = -0.5 * (ca * mxc * mxc + cc * myc * myc) - cb * mxc * myc
-    a_x = ca * mxc + cb * myc
-    a_y = cc * myc + cb * mxc
-    coeff = jnp.concatenate(
-        [a_const, a_x, a_y, -0.5 * ca, -0.5 * cc, -cb], axis=0
-    )  # (6, K)
-    power = jax.lax.dot_general(
-        basis,
-        coeff,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (P, K)
+    dx = mx - px  # (P, K)
+    dy = my - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     raw = op * jnp.exp(power)
     alpha = jnp.minimum(ALPHA_CLAMP, raw)
     alpha = jnp.where((power > 0.0) | (raw < ALPHA_CUTOFF), 0.0, alpha)
@@ -165,18 +154,17 @@ def _chunk_common(fields, t_all, basis, cx, cy) -> ChunkCommon:
     m = t_before * one_minus >= TRANSMITTANCE_EPS
     w = jnp.where(m, alpha * t_before, 0.0)
     return ChunkCommon(
-        alpha, raw, one_minus, t_before, t_after_all, m, w, power, mxc, myc
+        alpha, raw, one_minus, t_before, t_after_all, m, w, power
     )
 
 
-def forward_chunk(fields, t_all, t_mask, color, basis, cx, cy):
+def forward_chunk(fields, t_all, t_mask, color, px, py):
     """One chunk of the forward blend.
 
-    Args: fields (W, K); t_all, t_mask (P, 1); color (P, 3);
-    basis (P, 6) from tile_basis; cx, cy tile-center coords.
+    Args: fields (W, K); t_all, t_mask (P, 1); color (P, 3); px, py (P, 1).
     Returns updated (t_all, t_mask, color).
     """
-    c = _chunk_common(fields, t_all, basis, cx, cy)
+    c = _chunk_common(fields, t_all, px, py)
     cols = fields[6:9, :]  # (3, K)
     color = color + dot_pk(c.w, cols)
     t_mask = t_mask * tree_prod(jnp.where(c.m, c.one_minus, 1.0))
@@ -202,8 +190,9 @@ def backward_chunk(
     t_final_mask,  # (P, 1) saved final masked transmittance
     t_all,  # (P, 1) carried
     gc_pre,  # (P, 1) carried sum_ch g_color * C_prefix
-    basis,  # (P, 6) tile_basis
-    basis_t,  # (6, P) its transpose (built once per tile, not per chunk)
+    px,  # (P, 1)
+    py,  # (P, 1)
+    basis_t,  # (6, P) tile_basis_t (built once per tile, not per chunk)
     cx,
     cy,
 ):
@@ -211,7 +200,7 @@ def backward_chunk(
 
     Returns (grad_rows (W, K), t_all', gc_pre').
     """
-    c = _chunk_common(fields, t_all, basis, cx, cy)
+    c = _chunk_common(fields, t_all, px, py)
     cols = fields[6:9, :]  # (3, K)
     op = fields[5:6, :]
 
@@ -257,7 +246,8 @@ def backward_chunk(
     m_yy = mom[4:5]
     m_xy = mom[5:6]
 
-    mxc, myc = c.mxc, c.myc
+    mxc = fields[0:1, :] - cx  # (1, K) tile-centered means
+    myc = fields[1:2, :] - cy
     ca = fields[2:3, :]
     cb = fields[3:4, :]
     cc = fields[4:5, :]
