@@ -3,15 +3,26 @@
 TPU-native replacement for the CUDA duplication + cub radix sort + range
 identification (rasterizer_impl.cu:70-138, 280-317). All shapes static:
 
-  * instance expansion uses searchsorted over cumulative per-Gaussian tile
-    counts instead of per-thread scatter,
+  * instance expansion uses telescoping diff-scatter + cumsum run-length
+    decodes (bit-packed channels) instead of per-thread scatter,
   * the 64-bit [tile|depth] radix sort becomes one stable lexicographic
-    `lax.sort` on (tile_id, depth),
-  * the per-tile ranges are laid out chunk-aligned: every tile's instance run
-    starts at a multiple of `chunk`, so the Pallas blend kernel only ever
-    DMAs aligned (chunk, INSTANCE_WIDTH) blocks selected by a flat work-list.
+    `lax.sort` on (tile_id, depth-rank),
+  * the per-tile ranges are laid out chunk-aligned IN THE SORT ITSELF:
+    per-tile padding instances are synthesized BEFORE the sort (tile
+    counts come from a vector-rate 2D difference histogram of the rects),
+    with sort keys placing them at each tile's run end — so the sorted
+    order IS the padded layout and no cap-sized destination scatter is
+    needed. Permutation inverses (inv_map, depth ranks) are computed by
+    sorting (key, iota) pairs rather than scattering: on this TPU runtime
+    a cap-sized scatter runs at scalar rate (~1.4 ms/M rows) while a
+    2-operand sort of the same length costs ~0.4 ms.
 
 Everything here is integer bookkeeping — no gradients flow through it.
+
+Overflow semantics: when num_instances > max_instances the overflow flag is
+set and the rendered output is garbage-but-bounded (the pre-sort layout
+no longer matches the truncated instance stream); callers must re-run with
+a larger capacity, exactly as with the reference's dynamic resize.
 """
 
 from __future__ import annotations
@@ -74,6 +85,67 @@ class Binned(NamedTuple):
         return pxy & 0xFFFF
 
 
+def _invert_permutation(perm: jnp.ndarray) -> jnp.ndarray:
+    """inv[perm[i]] = i via a 2-operand sort (a scatter would run at
+    scalar rate on this runtime; the sort is vector/memory rate)."""
+    n = perm.shape[0]
+    _, inv = jax.lax.sort(
+        (perm, jnp.arange(n, dtype=perm.dtype)), num_keys=1, is_stable=False
+    )
+    return inv
+
+
+def _tile_counts_2d(rect, valid, cfg: RasterConfig) -> jnp.ndarray:
+    """Per-tile instance counts WITHOUT scalar scatters: each rect
+    contributes +-1 corner marks on the (tiles_y+1, tiles_x+1) grid, and a
+    2D prefix sum turns corner marks into box coverage counts.
+
+    The corner histogram is a MATMUL: split the flat corner index into
+    hi/lo parts, build signed one-hot factors, and contract the point axis
+    on the MXU — onehot_hi^T (H, 4N) @ onehot_lo (4N, L) = (H, L) joint
+    counts. Vector/MXU rate at any grid size (a naive one-hot reduce is
+    O(N * G) elementwise; a scatter-add histogram runs at scalar rate).
+    f32 accumulation is exact for counts < 2^24."""
+    i32 = jnp.int32
+    gx = cfg.tiles_x + 1
+    gy = cfg.tiles_y + 1
+    g_total = gy * gx
+    lo_sz = 128
+    hi_sz = -(-g_total // lo_sz)
+    tx0, ty0, tx1, ty1 = rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3]
+    # corner marks: +1 @ (y0,x0), -1 @ (y0,x1), -1 @ (y1,x0), +1 @ (y1,x1)
+    cidx = jnp.concatenate(
+        [
+            ty0 * gx + tx0,
+            ty0 * gx + tx1,
+            ty1 * gx + tx0,
+            ty1 * gx + tx1,
+        ],
+        axis=0,
+    )  # [4N]
+    n = tx0.shape[0]
+    sign = jnp.repeat(jnp.asarray([1.0, -1.0, -1.0, 1.0], jnp.float32), n)
+    sign = sign * jnp.tile(valid.astype(jnp.float32), 4)
+    hi = cidx // lo_sz
+    lo = cidx - hi * lo_sz
+    oh_hi = (
+        hi[None, :] == jnp.arange(hi_sz, dtype=i32)[:, None]
+    ).astype(jnp.float32) * sign[None, :]  # [H, 4N]
+    oh_lo = (
+        lo[:, None] == jnp.arange(lo_sz, dtype=i32)[None, :]
+    ).astype(jnp.float32)  # [4N, L]
+    marks = jax.lax.dot_general(
+        oh_hi,
+        oh_lo,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1)[:g_total]
+    grid = jnp.round(marks).astype(i32).reshape(gy, gx)
+    grid = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)
+    return grid[: cfg.tiles_y, : cfg.tiles_x].reshape(-1)
+
+
 def bin_gaussians(
     rect: jnp.ndarray,  # [N, 4] int32 tile bbox
     depths: jnp.ndarray,  # [N] f32
@@ -92,7 +164,7 @@ def bin_gaussians(
     # Run-length decode via scatter + cumsum instead of per-instance
     # searchsorted/gather: XLA-TPU random gathers run at scalar rate, so the
     # naive decode (17M+ gathered elements for 1M instances) costs ~180 ms;
-    # this formulation is a handful of 100k-element scatters plus 1M-element
+    # this formulation is a handful of 100k-element scatters plus cap-sized
     # cumsums (~ms) and is EXACT (integer arithmetic only).
     cum = jnp.cumsum(counts)  # inclusive
     offs = cum - counts  # exclusive
@@ -101,13 +173,12 @@ def bin_gaussians(
     inst = jnp.arange(cap, dtype=i32)
     inst_valid = inst < total
 
-    # gauss[i] = #{g : cum[g] <= i}  (== searchsorted right)
-    mark = jnp.zeros((cap,), i32).at[cum].add(1, mode="drop")
-    gauss_c = jnp.minimum(jnp.cumsum(mark), n - 1)
-
     def decode(vals):
         """Per-instance step function vals[gauss[i]] without gathers:
-        telescoping diff-scatter at run starts, then cumsum."""
+        telescoping diff-scatter at run starts, then cumsum. Bit-packing
+        multiple fields into one channel is exact because the decode is
+        linear: every PARTIAL SUM of the delta stream is an actual packed
+        value (individual diffs may borrow across bit boundaries)."""
         delta = (
             jnp.zeros((cap,), i32)
             .at[0]
@@ -118,28 +189,42 @@ def bin_gaussians(
         return jnp.cumsum(delta)
 
     # depth ORDER as integer ranks (exact; same ordering as float depths
-    # with stable tie-break by gaussian index)
+    # with stable tie-break by gaussian index). The rank array is the
+    # inverse permutation of the argsort — computed by a second small sort
+    # (see _invert_permutation).
     depth_order = jnp.argsort(
         jnp.where(valid, depths, jnp.inf), stable=True
     ).astype(i32)
-    depth_rank = (
-        jnp.zeros((n,), i32).at[depth_order].set(jnp.arange(n, dtype=i32))
-    )
+    depth_rank = _invert_permutation(depth_order)
 
-    # Three decode channels instead of five: the tile-rect fields are
-    # bit-packed into one channel (base = ty0*tiles_x + tx0 in the high
-    # bits, w in the low 9). Packing is exact under the telescoping-diff
-    # cumsum because it is linear: per-field deltas may borrow across bit
-    # boundaries in an individual diff, but every PARTIAL SUM of the delta
-    # stream is an actual packed value. Each decode is a cap-sized
-    # scatter + cumsum, the dominant binning cost class on this runtime.
+    # --- packed decode channels. Static bit budgets decide the packing;
+    # every field is nonnegative and bounded, so packed channels stay
+    # below 2^31. Worst case (huge caps/scenes) falls back to separate
+    # channels automatically.
     if cfg.n_tiles > (1 << 16) or cfg.tiles_x > 511:
         raise ValueError("tile grid too large for packed binning decode")
+    bits_cap = max(int(cap).bit_length(), 1)
+    bits_n = max(int(n).bit_length(), 1)
+    bits_t = max(int(cfg.n_tiles).bit_length(), 1)
     base = ty0 * cfg.tiles_x + tx0
-    i_off = decode(offs)
-    i_bw = decode(base * 512 + w)
-    i_base = i_bw >> 9
-    i_w = jnp.maximum(i_bw & 511, 1)
+    gauss_ids = jnp.arange(n, dtype=i32)
+
+    if bits_cap + 9 <= 31:
+        ch_ow = decode(offs * 512 + w)
+        i_off = ch_ow >> 9
+        i_w = jnp.maximum(ch_ow & 511, 1)
+    else:
+        i_off = decode(offs)
+        i_w = jnp.maximum(decode(w), 1)
+    if bits_t + bits_n <= 31:
+        ch_br = decode(base * (1 << bits_n) + depth_rank)
+        i_base = ch_br >> bits_n
+        i_rnk = ch_br & ((1 << bits_n) - 1)
+    else:
+        i_base = decode(base)
+        i_rnk = decode(depth_rank)
+    gauss_c = decode(gauss_ids)
+
     i_rank = inst - i_off
     # small-int div via f32 (exact for values < 2^24)
     rr = i_rank.astype(jnp.float32)
@@ -149,58 +234,66 @@ def bin_gaussians(
     tile_id = jnp.where(
         inst_valid, i_base + ry.astype(i32) * cfg.tiles_x + rx, cfg.n_tiles
     ).astype(i32)
-    inst_rank = jnp.where(inst_valid, decode(depth_rank), n).astype(i32)
+    inst_rank = jnp.where(inst_valid, i_rnk, n).astype(i32)
     inst_gauss = jnp.where(inst_valid, gauss_c, n).astype(i32)
 
-    # --- stable lexicographic sort on (tile, depth-rank); ties keep
-    # gaussian (=submission) order like the CUDA stable radix sort.
-    # `orig_s` carries the pre-sort instance index so the backward can map
-    # padded rows back to the contiguous-per-gaussian original order ---
-    tile_s, _rank_s, gauss_s, orig_s = jax.lax.sort(
-        (tile_id, inst_rank, inst_gauss, inst), num_keys=2, is_stable=True
-    )
-
-    # --- per-tile ranges (identifyTileRanges, rasterizer_impl.cu:116-138) ---
-    tiles = jnp.arange(cfg.n_tiles, dtype=i32)
-    start = jnp.searchsorted(tile_s, tiles, side="left").astype(i32)
-    end = jnp.searchsorted(tile_s, tiles, side="right").astype(i32)
-    tile_counts = end - start
-
-    # --- K-aligned padded layout; every tile gets >= 1 chunk ---
+    # --- per-tile padded layout, computed BEFORE the sort from the
+    # histogram counts; every tile gets >= 1 chunk ---
     k = cfg.chunk
+    tile_counts = _tile_counts_2d(rect, valid, cfg)
     n_chunks = jnp.maximum(1, -(-tile_counts // k))
     padded_counts = n_chunks * k
     padded_off = jnp.concatenate(
         [jnp.zeros((1,), i32), jnp.cumsum(padded_counts)[:-1].astype(i32)]
     )
-    # destination row of sorted instance i = i + pad_before[tile(i)], where
-    # pad_before = padded_off - start is the cumulative chunk padding
-    # inserted before the tile. Instead of a per-instance small-table
-    # gather (measured as one of the most expensive index ops on this
-    # runtime), scatter pad_before at each tile's start position and
-    # propagate with a cummax: pad_before is monotone nondecreasing and
-    # tile runs are consecutive, and when several tiles share a start
-    # (empty tiles) the .max picks the owning (highest-index) tile.
-    pad_before = padded_off - start
-    in_range = tile_s < cfg.n_tiles
-    pad_stream = (
-        jnp.zeros((cap,), i32).at[start].max(pad_before, mode="drop")
-    )
-    dest = jnp.arange(cap, dtype=i32) + jax.lax.cummax(pad_stream)
-    dest = jnp.where(in_range, dest, cfg.padded_rows - 1)
-    padded_gauss = jnp.full((cfg.padded_rows,), n, i32).at[dest].set(
-        jnp.where(in_range, gauss_s, n)
-    )
-    # the trailing dummy block must stay sentinel even after clamped scatters
-    padded_gauss = padded_gauss.at[cfg.padded_rows - 1].set(n)
 
-    # orig instance -> padded row (invalid instances land on the final
-    # dummy row, whose gradient is always zero)
-    inv_map = (
-        jnp.full((cap,), cfg.padded_rows - 1, i32)
-        .at[orig_s]
-        .set(dest, mode="drop")
+    # --- synthesize the padding instances (tile keyed, rank = n so they
+    # sort to each tile's run end). pad_cap = padded_rows - cap is a
+    # static bound >= the worst-case total padding (<= n_tiles * chunk,
+    # config.padded_rows guarantees (n_tiles + 1) * chunk of slack). The
+    # per-slot owning tile is a 256-entry scatter + cummax, not a
+    # cap-sized op.
+    pad_cap = cfg.padded_rows - cap
+    pad_counts = padded_counts - tile_counts
+    pad_offs = jnp.concatenate(
+        [jnp.zeros((1,), i32), jnp.cumsum(pad_counts)[:-1].astype(i32)]
     )
+    pad_total = (
+        pad_offs[-1] + pad_counts[-1]
+        if cfg.n_tiles > 0
+        else jnp.zeros((), i32)
+    )
+    pad_iota = jnp.arange(pad_cap, dtype=i32)
+    # ties (zero-pad tiles share an offset): .max picks the largest tile
+    # index, which is the actual owner of the slot run
+    pad_stream = (
+        jnp.zeros((pad_cap,), i32)
+        .at[pad_offs]
+        .max(jnp.arange(cfg.n_tiles, dtype=i32), mode="drop")
+    )
+    pad_tile = jnp.where(
+        pad_iota < pad_total, jax.lax.cummax(pad_stream), cfg.n_tiles
+    ).astype(i32)
+
+    # --- ONE stable lexicographic sort on (tile, depth-rank) over
+    # real + pad instances: the output order IS the chunk-aligned padded
+    # layout (ties keep gaussian submission order like the CUDA stable
+    # radix sort; pads have rank n so they close each tile's run).
+    # `orig_s` carries the pre-sort instance index (pads get >= cap) so
+    # inv_map is its inverse permutation restricted to [0, cap). ---
+    sentinel_i32 = jnp.full((pad_cap,), n, i32)
+    tile_all = jnp.concatenate([tile_id, pad_tile])
+    rank_all = jnp.concatenate([inst_rank, sentinel_i32])
+    gauss_all = jnp.concatenate([inst_gauss, sentinel_i32])
+    orig_all = jnp.arange(cfg.padded_rows, dtype=i32)
+    _tile_s, _rank_s, gauss_s, orig_s = jax.lax.sort(
+        (tile_all, rank_all, gauss_all, orig_all), num_keys=2, is_stable=True
+    )
+    padded_gauss = gauss_s  # [padded_rows]; sentinel rows carry n
+
+    # orig instance -> padded row: inverse of orig_s via sort (rows owned
+    # by pads land beyond cap and are sliced off)
+    inv_map = _invert_permutation(orig_s)[:cap]
 
     # --- flat chunk work-list ---
     chunk_cum = jnp.cumsum(n_chunks)  # inclusive

@@ -96,7 +96,10 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
             ],
             axis=1,
         )
-        rows = (prefix_t[:, b[1:]] - prefix_t[:, b[:-1]]).T  # [N, 9]
+        # ONE boundary gather at all N+1 bounds then diff (two separate
+        # b[1:] / b[:-1] gathers each pay the scalar-rate gather cost)
+        pb = jnp.take(prefix_t, b, axis=1, mode="clip")  # [9, N+1]
+        rows = (pb[:, 1:] - pb[:, :-1]).T  # [N, 9]
     else:
         grads_inst = blend_jax.blend_backward_jax(
             padded, binned, out, g_out, cfg
@@ -108,7 +111,8 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
                 jnp.cumsum(grads_orig, axis=0),
             ]
         )
-        rows = prefix[b[1:]] - prefix[b[:-1]]  # [N, 16]
+        pb = jnp.take(prefix, b, axis=0)  # [N+1, W]
+        rows = pb[1:] - pb[:-1]  # [N, W]
     # sentinel row (the zero row appended by pack_fields) gets zero grads
     return jnp.concatenate(
         [rows, jnp.zeros((n_ext - rows.shape[0], rows.shape[1]))]

@@ -33,10 +33,24 @@ def main():
         jnp.asarray(a, jnp.float32) for a in (means, scales, quats, opac, sh)
     )
     cam = look_at_camera(eye=[0.0, 0.0, -3.0], target=[0.0, 0.0, 0.0])
+    from frosting_tpu.raster.render import (
+        autotune_max_instances,
+        count_instances,
+    )
+
+    probe_cfg = RasterConfig(
+        width=512, height=512, chunk=128, max_instances=1 << 21,
+        backend="auto",
+    )
+    n_inst = int(
+        jax.jit(lambda g, c: count_instances(*g, c, probe_cfg))(gs, cam)
+    )
     cfg = RasterConfig(
-        width=512, height=512, chunk=128, max_instances=1 << 20,
+        width=512, height=512, chunk=128,
+        max_instances=autotune_max_instances(n_inst, 128, safety=1.25),
         backend="pallas",
     )
+    print("instances", n_inst, "cap", cfg.max_instances)
     target = jnp.zeros((3, 512, 512), jnp.float32)
     iters = 10
 
@@ -48,9 +62,13 @@ def main():
 
     @jax.jit
     def bench_prog(means, scales, quats, opac, sh, camera, tgt, salt):
+        # same per-iteration perturbations as bench.py: means move too, so
+        # preprocess/binning/sort stay inside the measured loop
         def body(i, acc):
-            o = jnp.clip(opac + 0.001 * i.astype(jnp.float32) + salt, 0, 1)
-            g = grad_opac(means, scales, quats, o, sh, camera, tgt)
+            it = i.astype(jnp.float32)
+            o = jnp.clip(opac + 0.001 * it + salt, 0, 1)
+            m = means + 1e-5 * it + salt * 1e-3
+            g = grad_opac(m, scales, quats, o, sh, camera, tgt)
             return acc + jnp.sum(jnp.abs(g))
 
         return jax.lax.fori_loop(0, iters, body, 0.0)
