@@ -134,12 +134,14 @@ def _tile_counts_2d(rect, valid, cfg: RasterConfig) -> jnp.ndarray:
     oh_lo = (
         lo[:, None] == jnp.arange(lo_sz, dtype=i32)[None, :]
     ).astype(jnp.float32)  # [4N, L]
+    # DEFAULT precision is EXACT here: the factors are 0/+-1 (exactly
+    # representable in bf16) and the MXU accumulates in f32 — no need to
+    # pay HIGHEST's extra passes.
     marks = jax.lax.dot_general(
         oh_hi,
         oh_lo,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     ).reshape(-1)[:g_total]
     grid = jnp.round(marks).astype(i32).reshape(gy, gx)
     grid = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)
