@@ -89,7 +89,7 @@ def main(argv=None):
     width = args.width or int(cam_meta.get("width", 1920))
     height = args.height or int(cam_meta.get("height", 1080))
     rcfg = RasterConfig(
-        width=width, height=height, chunk=64,
+        width=width, height=height, chunk=128,
         max_instances=args.max_instances,
     )
 

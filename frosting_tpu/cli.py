@@ -82,7 +82,7 @@ def main(argv=None):
     gt = np.stack([c.image() for c in scene.train_cameras])
     h, w = gt.shape[-2:]
     max_inst = 8192 if args.tiny else args.max_instances
-    chunk = 32 if args.tiny else 64
+    chunk = 32 if args.tiny else 128
     rcfg = RasterConfig(
         width=w, height=h, chunk=chunk, max_instances=max_inst
     )

@@ -42,9 +42,14 @@ class RasterConfig:
     # compositing math.
     tile_w: int = 32
     tile_h: int = 32
-    # Gaussians blended per chunk; sets the (chunk, chunk) triangular-matmul
-    # size used for the in-chunk transmittance cumulative product.
-    chunk: int = 64
+    # Gaussians blended per chunk (the lane width of the in-chunk
+    # Hillis-Steele transmittance scan). On TPU the Pallas kernels only
+    # compile at chunk=128: the [n_blocks, 9, K] instance buffer lowers to
+    # a (1, 128)-tiled layout whose manual DMA slices Mosaic accepts only
+    # when K == 128 (K=64 and K=256 are both rejected on alignment).
+    # Smaller chunks remain valid on the pure-JAX backend (CPU tests use
+    # 32 for tight shapes).
+    chunk: int = 128
     # Capacity for duplicated (gaussian, tile) instances before padding. The
     # dynamic `num_rendered` of the CUDA reference (rasterizer_impl.cu:280-285)
     # becomes this static bound + an overflow flag.

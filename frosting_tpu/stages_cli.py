@@ -39,7 +39,7 @@ def _common(p):
     p.add_argument("--eval", action="store_true")
     p.add_argument("--white-bg", action="store_true")
     p.add_argument("--max-instances", type=int, default=1 << 21)
-    p.add_argument("--chunk", type=int, default=64)
+    p.add_argument("--chunk", type=int, default=128)
 
 
 def _load_scene(args):
