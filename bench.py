@@ -13,6 +13,7 @@ diff-gaussian-rasterization fwd+bwd throughput on a reference-class GPU for
 comparable scenes (~2-4 ms per 512x512 train iteration).
 """
 
+import os
 import json
 import time
 
@@ -123,6 +124,18 @@ def main():
     assert np.isfinite(rf)
     fwd_mpix_s = 512 * 512 * iters / dtf / 1e6
 
+    extra = {
+        "fwd_only_mpix_s": round(fwd_mpix_s, 2),
+        "fwd_only_fps": round(fwd_mpix_s * 1e6 / (512 * 512), 1),
+    }
+    # production-scale shape measured separately (scripts/bench_1080p.py
+    # writes BENCH_1080P.json; kept out of the main loop so the driver's
+    # bench run stays fast)
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_1080P.json")) as f:
+            extra["bench_1080p_1m"] = json.load(f)
+    except (OSError, ValueError):
+        pass
     print(
         json.dumps(
             {
@@ -130,10 +143,7 @@ def main():
                 "value": round(mpix_s, 3),
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
-                "extra": {
-                    "fwd_only_mpix_s": round(fwd_mpix_s, 2),
-                    "fwd_only_fps": round(fwd_mpix_s * 1e6 / (512 * 512), 1),
-                },
+                "extra": extra,
             }
         )
     )
