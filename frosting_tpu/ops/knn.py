@@ -5,7 +5,7 @@ spatial boxes, simple_knn.cu:186-222) and PyTorch3D's knn_points as used by
 the SuGaR/Frosting models (KNN-16 tracking, sugar_model.py:1044-1061;
 neighbor queries at frosting_model.py:300, 2072). Strategy: sort points
 along a Morton curve, take a +/-window of candidates in sorted order, exact
-top-k over the candidate set. Multiple jittered grids raise recall; the
+top-k over the candidate set. Multiple rotated grids raise recall; the
 consumer (a density field summing exp(-mahalanobis)) is robust to the
 residual approximation, like the reference's box-pruned approximate KNN.
 """
@@ -17,6 +17,35 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _grid_rotation(g: int) -> np.ndarray:
+    """Fixed rotation matrix of grid `g` (identity for g=0). Rotating the
+    cloud before Morton quantization decorrelates the space-filling curves
+    between grids far more than origin jitter: a pair of neighbors split
+    across a cell boundary in one curve is almost never split in a rotated
+    one (measured self-KNN recall @2M: 0.70 with 2 jittered grids ->
+    ~0.9 with 2 rotated grids at the same window)."""
+    if g == 0:
+        return np.eye(3, dtype=np.float32)
+    rng = np.random.default_rng(1234 + g)
+    # QR of a Gaussian matrix = uniformly random rotation (deterministic
+    # per grid index)
+    q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+    q *= np.sign(np.diag(r))
+    return q.astype(np.float32)
+
+
+def _rotate(points: jnp.ndarray, rot: np.ndarray) -> jnp.ndarray:
+    """[N, 3] @ R as unrolled elementwise madds (skinny [N,3]x[3,3]
+    matmuls lose precision by default on the MXU; see ops/cov.py)."""
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    cols = [
+        x * float(rot[0, c]) + y * float(rot[1, c]) + z * float(rot[2, c])
+        for c in range(3)
+    ]
+    return jnp.stack(cols, axis=1)
 
 
 def _spread_bits(x: jnp.ndarray) -> jnp.ndarray:
@@ -49,7 +78,7 @@ def knn(
     points: jnp.ndarray,  # [N, 3]
     k: int = 16,
     window: int = 0,
-    n_grids: int = 2,
+    n_grids: int = 3,
     valid=None,  # [N] bool; invalid rows (dead arena slots) are excluded
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-KNN. Returns (idx [N, k], sqdist [N, k]), neighbor 0
@@ -57,28 +86,28 @@ def knn(
     distort the Morton bounding box (arena slots are parked at 1e6) nor
     appear as neighbors; their own rows are garbage and must not be read.
 
-    window=0 picks an N-adaptive default: Morton-window recall degrades
-    with density contrast at millions of points (measured 0.82@100k ->
-    0.70@2M at window 32), so large clouds get a wider window — self-KNN
-    runs off the hot loop (every-500-iters resets / init), so the larger
-    candidate set is cheap insurance."""
+    window=0 picks an N-adaptive default. Defaults calibrated on the
+    anisotropic refine-stage cloud (scripts/knn_recall.py): extra ROTATED
+    grids beat a wider window at equal candidate count (w32/g3 0.911 vs
+    w64/g2 0.888 @100k); w48/g3 reaches 0.941 @100k. Self-KNN runs off
+    the hot loop (every-500-iters resets / init), so the larger candidate
+    set is cheap insurance."""
     n = points.shape[0]
     if window == 0:
-        window = 32 if n <= (1 << 18) else 64
-    if valid is None:
-        lo = jnp.min(points, axis=0)
-        hi = jnp.max(points, axis=0)
-    else:
-        big = jnp.float32(3e38)
-        lo = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
-        hi = jnp.max(jnp.where(valid[:, None], points, -big), axis=0)
-    span = jnp.maximum(hi - lo, 1e-12)
+        window = 48 if n <= (1 << 18) else 64
 
     ranks_orders = []
     for g in range(n_grids):
-        # jitter the grid origin to decorrelate cell boundaries
-        shift = span * (0.0 if g == 0 else (0.33 * g))
-        codes = morton_codes(points, lo - shift, hi)
+        # rotated Morton curves per grid (see _grid_rotation)
+        pg = points if g == 0 else _rotate(points, _grid_rotation(g))
+        if valid is None:
+            lo = jnp.min(pg, axis=0)
+            hi = jnp.max(pg, axis=0)
+        else:
+            big = jnp.float32(3e38)
+            lo = jnp.min(jnp.where(valid[:, None], pg, big), axis=0)
+            hi = jnp.max(jnp.where(valid[:, None], pg, -big), axis=0)
+        codes = morton_codes(pg, lo, hi)
         if valid is not None:
             codes = jnp.where(valid, codes, jnp.uint32(0xFFFFFFFF))
         order = jnp.argsort(codes)
@@ -169,13 +198,13 @@ def knn_query(
     refs: jnp.ndarray,  # [N, 3]
     k: int = 16,
     window: int = 48,
-    n_grids: int = 2,
+    n_grids: int = 3,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """KNN of queries against a reference cloud (replaces pytorch3d
     knn_points(queries, refs)). Returns (idx [M, k], sqdist).
 
     Exact (chunked brute force) when the reference set is small; otherwise
-    Morton-window approximate over jittered grids. The Morton quantization
+    Morton-window approximate over rotated grids. The Morton quantization
     uses the JOINT bbox of refs and queries — with the refs-only bbox, a
     query outside the refs' extent along any axis gets a clipped code and
     lands arbitrarily far from its true neighbors in sorted order."""
@@ -183,25 +212,32 @@ def knn_query(
     if n <= 16384:
         return _knn_query_exact(queries, refs, k)
     m = queries.shape[0]
-    lo = jnp.minimum(jnp.min(refs, axis=0), jnp.min(queries, axis=0))
-    hi = jnp.maximum(jnp.max(refs, axis=0), jnp.max(queries, axis=0))
-    span = hi - lo
 
-    orders, sorted_codes_list, shifts = [], [], []
+    orders, sorted_codes_list, bounds, rots = [], [], [], []
     for g in range(n_grids):
-        shift = span * (g / (n_grids * 7.3))  # jittered grid origins
-        ref_codes = morton_codes(refs, lo - shift, hi)
+        # rotated Morton curves per grid (see _grid_rotation). The
+        # quantization uses the JOINT bbox of (rotated) refs and queries —
+        # with the refs-only bbox, a query outside the refs' extent gets a
+        # clipped code and lands arbitrarily far from its true neighbors.
+        rot = _grid_rotation(g)
+        rg = refs if g == 0 else _rotate(refs, rot)
+        qg = queries if g == 0 else _rotate(queries, rot)
+        lo = jnp.minimum(jnp.min(rg, axis=0), jnp.min(qg, axis=0))
+        hi = jnp.maximum(jnp.max(rg, axis=0), jnp.max(qg, axis=0))
+        ref_codes = morton_codes(rg, lo, hi)
         order = jnp.argsort(ref_codes).astype(jnp.int32)
         orders.append(order)
         sorted_codes_list.append(ref_codes[order])
-        shifts.append(shift)
+        bounds.append((lo, hi))
+        rots.append(rot)
     rx, ry, rz = refs[:, 0], refs[:, 1], refs[:, 2]
 
     def one_block(q):  # [B, 3] — bounded memory per block
         b = q.shape[0]
         cand_list = []
         for g in range(n_grids):
-            q_codes = morton_codes(q, lo - shifts[g], hi)
+            qg = q if g == 0 else _rotate(q, rots[g])
+            q_codes = morton_codes(qg, bounds[g][0], bounds[g][1])
             pos = jnp.searchsorted(
                 sorted_codes_list[g], q_codes
             ).astype(jnp.int32)
