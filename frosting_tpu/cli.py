@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # no-op single-process; on a pod it must run before device queries
+    from frosting_tpu.parallel import multihost
+
+    multihost.initialize()
+
     from frosting_tpu import metrics as metrics_lib
     from frosting_tpu import pipeline
     from frosting_tpu.extract.shell import ShellConfig

@@ -405,6 +405,10 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # no-op single-process; on a pod it must run before device queries
+    from frosting_tpu.parallel import multihost
+
+    multihost.initialize()
     args.fn(args)
 
 
