@@ -42,7 +42,62 @@ def build_parser():
         default="median",
     )
     p.add_argument("--max-instances", type=int, default=1 << 21)
+    # reference flags (render_blender_scene.py:42-61)
+    p.add_argument("--white-background", action="store_true")
+    p.add_argument("--sh-degree", type=int, default=3)
+    p.add_argument(
+        "--export-frame-as-ply", type=int, default=None,
+        help="export this frame's edited gaussians as a viewer-compatible "
+        "PLY (covariances eigendecomposed to scales/quats; SH coefficients "
+        "exported unrotated, like the reference's "
+        "convert_frosting_into_gaussians path)",
+    )
+    p.add_argument(
+        "--occlusion-culling", action="store_true",
+        help="render only gaussians whose shell face is visible this "
+        "frame (posed-shell rasterization; compacted to one static "
+        "capacity over all frames so the render compiles once)",
+    )
     return p
+
+
+def edited_to_gaussian_params(eg, sh_degree: int):
+    """EditedGaussians -> viewer-layout GaussianParams: eigendecompose the
+    transformed covariances into (scales, quats). SH coefficients are kept
+    unrotated, matching the reference's PLY export fidelity
+    (blender/frosting_utils.py:577-578 -> convert_frosting_into_gaussians)."""
+    import jax.numpy as jnp
+
+    from frosting_tpu.ops import quat as quat_ops
+    from frosting_tpu.scene.gaussians import GaussianParams, inverse_sigmoid
+
+    c = eg.cov6  # [N, 6] packed symmetric (xx, xy, xz, yy, yz, zz)
+    m = jnp.stack(
+        [
+            jnp.stack([c[:, 0], c[:, 1], c[:, 2]], -1),
+            jnp.stack([c[:, 1], c[:, 3], c[:, 4]], -1),
+            jnp.stack([c[:, 2], c[:, 4], c[:, 5]], -1),
+        ],
+        -2,
+    )  # [N, 3, 3]
+    eigval, eigvec = jnp.linalg.eigh(m)
+    scales = jnp.sqrt(jnp.maximum(eigval, 1e-14))  # [N, 3] ascending
+    rot = jnp.where(
+        jnp.linalg.det(eigvec)[:, None, None] < 0, -eigvec, eigvec
+    )
+    quats = quat_ops.from_matrix(rot)
+    n = eg.means.shape[0]
+    return GaussianParams(
+        means3d=eg.means,
+        sh_dc=eg.sh[:, :1],
+        sh_rest=eg.sh[:, 1:],
+        scales_log=jnp.log(scales),
+        quats_raw=quats,
+        opacities_raw=inverse_sigmoid(
+            jnp.clip(eg.opacities, 1e-5, 1 - 1e-5)
+        ),
+        mask=jnp.ones((n,), jnp.float32),
+    )
 
 
 def package_camera(package, i_frame, width, height):
@@ -93,8 +148,9 @@ def main(argv=None):
         max_instances=args.max_instances,
     )
 
-    os.makedirs(args.out, exist_ok=True)
-    for i_frame in range(f0, f1):
+    bg = jnp.ones((3,), jnp.float32) if args.white_background else None
+
+    def posed_verts(i_frame):
         verts = scene.params.shell_verts
         for i_mesh, mesh in enumerate(package["meshes"]):
             if mesh is None:
@@ -109,21 +165,82 @@ def main(argv=None):
             )
             s, e = scene.vert_ranges[i_mesh]
             verts = verts.at[s:e].set(posed)
+        return verts
+
+    def adapt(verts):
         if args.adaptation == "simple":
-            eg = editing.adapt_frosting_simple(
+            return editing.adapt_frosting_simple(
                 scene.params, scene.meta, verts,
                 thickness_rescale=args.thickness_rescale,
             )
-        else:
-            # deformation-threshold opacity masking applies only to the
-            # complex adaptation (blender/frosting_utils.py:532)
-            eg = editing.adapt_frosting(
-                scene.params, scene.meta, verts,
-                deformation_threshold=args.deformation_threshold,
-                thickness_rescale=args.thickness_rescale,
+        # deformation-threshold opacity masking applies only to the
+        # complex adaptation (blender/frosting_utils.py:532)
+        return editing.adapt_frosting(
+            scene.params, scene.meta, verts,
+            deformation_threshold=args.deformation_threshold,
+            thickness_rescale=args.thickness_rescale,
+        )
+
+    # Occlusion culling (refine.py-style, render_blender_scene.py:47-49):
+    # pass 1 rasterizes the POSED shell per frame and collects visible
+    # cell faces; all frames share one compacted capacity so the render
+    # step compiles once (per-frame dynamic shapes would recompile every
+    # frame on this runtime).
+    vis_idx_by_frame = {}
+    cap = None
+    if args.occlusion_culling:
+        from frosting_tpu.ops import mesh_raster
+
+        cell_idx = np.asarray(scene.meta.cell_idx)
+        masks = []
+        for i_frame in range(f0, f1):
+            frags = mesh_raster.rasterize_mesh(
+                posed_verts(i_frame), scene.meta.faces,
+                package_camera(package, i_frame, width, height), rcfg,
             )
+            seen = np.zeros((np.asarray(scene.meta.faces).shape[0] + 1,), bool)
+            pf = np.asarray(frags.pix_to_face).ravel()
+            seen[pf[pf >= 0]] = True
+            masks.append(seen[cell_idx])
+        cap = -(-max(int(m.sum()) for m in masks) // 1024) * 1024
+        n_total = len(cell_idx)
+        for i_frame, m in zip(range(f0, f1), masks):
+            order = np.argsort(~m, kind="stable")[:cap]
+            valid = m[order]
+            vis_idx_by_frame[i_frame] = (
+                jnp.asarray(order.astype(np.int32)),
+                jnp.asarray(valid),
+            )
+        print(
+            f"occlusion culling: {n_total} gaussians -> capacity {cap} "
+            f"({cap / max(n_total, 1):.0%})"
+        )
+
+    os.makedirs(args.out, exist_ok=True)
+    for i_frame in range(f0, f1):
+        eg = adapt(posed_verts(i_frame))
         cam = package_camera(package, i_frame, width, height)
-        img = editing.render_edited(eg, cam, rcfg).image
+        if args.export_frame_as_ply is not None and (
+            i_frame == args.export_frame_as_ply
+        ):
+            from frosting_tpu.scene.gaussians import save_ply
+
+            path = os.path.join(args.out, f"frame_{i_frame:05d}.ply")
+            save_ply(edited_to_gaussian_params(eg, args.sh_degree), path)
+            print(f"frame {i_frame} exported as PLY: {path}")
+            continue
+        if args.occlusion_culling:
+            vis_idx, valid = vis_idx_by_frame[i_frame]
+            eg = editing.EditedGaussians(
+                means=eg.means[vis_idx],
+                cov6=eg.cov6[vis_idx],
+                opacities=jnp.where(valid, eg.opacities[vis_idx], 0.0),
+                sh=eg.sh[vis_idx],
+                sh_rotations=eg.sh_rotations[vis_idx],
+            )
+        img = editing.render_edited(
+            eg, cam, rcfg, bg=bg, active_sh_degree=args.sh_degree
+        ).image
         Image.fromarray(
             (np.clip(np.asarray(img).transpose(1, 2, 0), 0, 1) * 255).astype(
                 np.uint8

@@ -96,3 +96,42 @@ def test_blender_cli_simple_adaptation(tmp_path):
         "--max-instances", "16384",
     ])
     assert os.path.exists(os.path.join(out, "frame_00000.png"))
+
+
+def test_blender_cli_culling_ply_white_bg(tmp_path):
+    """New reference-parity flags: occlusion culling (posed-shell
+    visibility, compacted capacity), white background, sh-degree, and
+    frame-as-PLY export (render_blender_scene.py:42-61)."""
+    params, meta = _make_frosting(n=512)
+    ckpt = str(tmp_path / "model.npz")
+    save_frosting(ckpt, params, meta)
+    pkg = str(tmp_path / "package.json")
+    _write_package(pkg, params.shell_verts.shape[0],
+                   np.asarray(params.shell_verts), n_frames=2)
+    out = str(tmp_path / "frames_culled")
+    blender_cli.main([
+        "--package", pkg,
+        "--checkpoints", ckpt,
+        "--out", out,
+        "--frames", "0", "2",
+        "--max-instances", "16384",
+        "--occlusion-culling",
+        "--white-background",
+        "--sh-degree", "1",
+        "--export-frame-as-ply", "1",
+    ])
+    frame = os.path.join(out, "frame_00000.png")
+    assert os.path.exists(frame)
+    img = np.asarray(Image.open(frame), np.float32) / 255.0
+    # white background: border pixels (behind the icosphere) must be bright
+    assert img[0, 0].mean() > 0.9
+    assert img.max() > 0.05
+    # frame 1 was exported as a PLY instead of a PNG
+    ply = os.path.join(out, "frame_00001.ply")
+    assert os.path.exists(ply)
+    assert not os.path.exists(os.path.join(out, "frame_00001.png"))
+    from frosting_tpu.scene.gaussians import load_ply
+
+    p = load_ply(ply)
+    assert p.means3d.shape[0] == 512
+    assert np.isfinite(np.asarray(p.scales_log)).all()
