@@ -52,7 +52,7 @@ def main():
     )
 
     probe_cfg = RasterConfig(
-        width=512, height=512, chunk=128, max_instances=1 << 21,
+        width=512, height=512, tile_w=32, tile_h=16, chunk=128, max_instances=1 << 21,
         backend="auto",
     )
     n_inst = int(
@@ -65,7 +65,7 @@ def main():
     # from its calibration views the same way; the overflow flag guards
     # under-sizing and triggers re-tuning).
     cfg = RasterConfig(
-        width=512, height=512, chunk=128,
+        width=512, height=512, tile_w=32, tile_h=16, chunk=128,
         max_instances=autotune_max_instances(n_inst, 128, safety=1.25),
         backend="auto",
     )

@@ -40,8 +40,12 @@ class RasterConfig:
     # 8x128 VPU exactly; the CUDA reference uses 16x16 (config.h:15-17) but
     # tile size only affects the conservative rect-inclusion set, not the
     # compositing math.
+    # 32x16 measured fastest at the bench shape (P=512): vs 32x32 the
+    # per-instance pixel work halves while instances only grow ~1.4x
+    # (21.6 vs 23.1 ms/iter); 32x8 and 16x16 lose to instance-count costs
+    # (25.5 / 24.9). P = tile_w*tile_h must be a multiple of 128 (lanes).
     tile_w: int = 32
-    tile_h: int = 32
+    tile_h: int = 16
     # Gaussians blended per chunk (the lane width of the in-chunk
     # Hillis-Steele transmittance scan). On TPU the Pallas kernels only
     # compile at chunk=128: the [n_blocks, 9, K] instance buffer lowers to

@@ -37,7 +37,7 @@ def _sphere_scene(n=1500, seed=0):
 
 def test_frosting_refine_quality():
     rcfg = RasterConfig(
-        width=64, height=64, chunk=32, max_instances=8192, backend="jax"
+        width=64, height=64, chunk=32, max_instances=24576, backend="jax"
     )
     gt = _sphere_scene()
     cams = synthetic.camera_ring(n_cams=8, radius=3.2)
@@ -84,7 +84,7 @@ def test_background_gaussians_train():
     from frosting_tpu.scene.gaussians import create_from_pcd
 
     rcfg = RasterConfig(
-        width=64, height=64, chunk=32, max_instances=8192, backend="jax"
+        width=64, height=64, chunk=32, max_instances=24576, backend="jax"
     )
     gt = _sphere_scene(n=400)
     cams = synthetic.camera_ring(n_cams=4, radius=3.2)
@@ -139,7 +139,7 @@ def test_occlusion_culling_compacts_compute():
     from frosting_tpu.raster import render as raster_render
 
     rcfg = RasterConfig(
-        width=64, height=64, chunk=32, max_instances=8192, backend="jax"
+        width=64, height=64, chunk=32, max_instances=24576, backend="jax"
     )
     gt = _sphere_scene(n=400)
     cams = synthetic.camera_ring(n_cams=3, radius=3.2)

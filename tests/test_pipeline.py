@@ -16,7 +16,7 @@ from frosting_tpu.train import frosting_trainer, gs_trainer, sugar_trainer
 
 def test_full_pipeline_synthetic(tmp_path):
     rcfg = RasterConfig(
-        width=64, height=64, chunk=32, max_instances=8192, backend="jax"
+        width=64, height=64, chunk=32, max_instances=24576, backend="jax"
     )
     # GT: gaussians on a sphere (well-defined surface for extraction)
     rng = np.random.default_rng(0)
