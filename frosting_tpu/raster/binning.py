@@ -128,21 +128,43 @@ def _tile_counts_2d(rect, valid, cfg: RasterConfig) -> jnp.ndarray:
     sign = sign * jnp.tile(valid.astype(jnp.float32), 4)
     hi = cidx // lo_sz
     lo = cidx - hi * lo_sz
-    oh_hi = (
-        hi[None, :] == jnp.arange(hi_sz, dtype=i32)[:, None]
-    ).astype(jnp.float32) * sign[None, :]  # [H, 4N]
-    oh_lo = (
-        lo[:, None] == jnp.arange(lo_sz, dtype=i32)[None, :]
-    ).astype(jnp.float32)  # [4N, L]
-    # DEFAULT precision is EXACT here: the factors are 0/+-1 (exactly
-    # representable in bf16) and the MXU accumulates in f32 — no need to
-    # pay HIGHEST's extra passes.
-    marks = jax.lax.dot_general(
-        oh_hi,
-        oh_lo,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(-1)[:g_total]
+
+    # Block over the point axis: the full one-hot factors would be
+    # [H, 4N] and [4N, L] (a 4M-gaussian scene at a 1080p/16px grid is
+    # ~2 GB of materialized one-hots); per-block factors stay ~MBs and
+    # the (H, L) partial sums accumulate exactly in f32.
+    blk = 1 << 17
+    m = cidx.shape[0]
+    pad = (-m) % blk
+    cidx_hi = jnp.concatenate([hi, jnp.zeros((pad,), hi.dtype)])
+    cidx_lo = jnp.concatenate([lo, jnp.zeros((pad,), lo.dtype)])
+    sign_p = jnp.concatenate([sign, jnp.zeros((pad,), sign.dtype)])
+    hi_iota = jnp.arange(hi_sz, dtype=i32)[:, None]
+    lo_iota = jnp.arange(lo_sz, dtype=i32)[None, :]
+
+    def block_hist(carry, xs):
+        h, l, s = xs
+        oh_hi = (h[None, :] == hi_iota).astype(jnp.float32) * s[None, :]
+        oh_lo = (l[:, None] == lo_iota).astype(jnp.float32)
+        # DEFAULT precision is EXACT here: the factors are 0/+-1 (exactly
+        # representable in bf16) and the MXU accumulates in f32.
+        return carry + jax.lax.dot_general(
+            oh_hi,
+            oh_lo,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ), None
+
+    marks, _ = jax.lax.scan(
+        block_hist,
+        jnp.zeros((hi_sz, lo_sz), jnp.float32),
+        (
+            cidx_hi.reshape(-1, blk),
+            cidx_lo.reshape(-1, blk),
+            sign_p.reshape(-1, blk),
+        ),
+    )
+    marks = marks.reshape(-1)[:g_total]
     grid = jnp.round(marks).astype(i32).reshape(gy, gx)
     grid = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)
     return grid[: cfg.tiles_y, : cfg.tiles_x].reshape(-1)
