@@ -53,6 +53,13 @@ def build_parser():
         "convert_frosting_into_gaussians path)",
     )
     p.add_argument(
+        "--render-background-gaussians",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="composite the (world-transformed) background Gaussians of "
+        "the first checkpoint that has them (reference default True)",
+    )
+    p.add_argument(
         "--occlusion-culling", action="store_true",
         help="render only gaussians whose shell face is visible this "
         "frame (posed-shell rasterization; compacted to one static "
@@ -216,6 +223,10 @@ def main(argv=None):
             f"({cap / max(n_total, 1):.0%})"
         )
 
+    bg_eg = None
+    if args.render_background_gaussians and scene.params.bg is not None:
+        bg_eg = editing.background_to_edited(scene.params.bg)
+
     os.makedirs(args.out, exist_ok=True)
     for i_frame in range(f0, f1):
         eg = adapt(posed_verts(i_frame))
@@ -223,6 +234,8 @@ def main(argv=None):
         if args.export_frame_as_ply is not None and (
             i_frame == args.export_frame_as_ply
         ):
+            if bg_eg is not None:
+                eg = editing.concat_edited(eg, bg_eg)
             from frosting_tpu.scene.gaussians import save_ply
 
             path = os.path.join(args.out, f"frame_{i_frame:05d}.ply")
@@ -238,6 +251,10 @@ def main(argv=None):
                 sh=eg.sh[vis_idx],
                 sh_rotations=eg.sh_rotations[vis_idx],
             )
+        # background Gaussians composite after culling (always kept, like
+        # the reference's visibility handling of bg)
+        if bg_eg is not None:
+            eg = editing.concat_edited(eg, bg_eg)
         img = editing.render_edited(
             eg, cam, rcfg, bg=bg, active_sh_degree=args.sh_degree
         ).image

@@ -288,12 +288,70 @@ class CompositeScene(NamedTuple):
     gauss_ranges: np.ndarray  # [M, 2] gaussian [start, end) per model
 
 
+def transform_background(bg, T):
+    """Rigid+uniform-scale world transform of background Gaussians
+    (reference: bg points transformed and quats premultiplied by the
+    world rotation, blender/frosting_utils.py:364-371; bg is not bound to
+    any shell so editing leaves it rigid)."""
+    import jax.numpy as jnp
+
+    T = jnp.asarray(T, jnp.float32)
+    t3 = T[:3, :3]
+    s = jnp.abs(jnp.linalg.det(t3)) ** (1.0 / 3.0)
+    rot = t3 / jnp.maximum(s, 1e-12)
+    homog = jnp.concatenate(
+        [bg.means3d, jnp.ones_like(bg.means3d[:, :1])], -1
+    )
+    rq = quat_ops.from_matrix(rot[None])[0]
+    return dataclasses.replace(
+        bg,
+        means3d=(homog @ T.T)[:, :3],
+        quats_raw=quat_ops.multiply(
+            jnp.broadcast_to(rq, bg.quats_raw.shape), bg.quats_raw
+        ),
+        scales_log=bg.scales_log + jnp.log(jnp.maximum(s, 1e-12)),
+    )
+
+
+def background_to_edited(bg) -> EditedGaussians:
+    """Activate background Gaussians into EditedGaussians rows so the
+    editing render can composite them with the adapted frosting set
+    (render_composited_image appends bg opacities, bf:570-572)."""
+    import jax.numpy as jnp
+
+    from frosting_tpu.ops import cov as cov_ops
+    from frosting_tpu.scene.gaussians import activate
+
+    means, scales, quats, opac, sh = activate(bg)
+    cov6 = cov_ops.cov3d_from_scale_quat(scales, quats)
+    ident = jnp.concatenate(
+        [jnp.ones((means.shape[0], 1)), jnp.zeros((means.shape[0], 3))], -1
+    )
+    return EditedGaussians(
+        means=means, cov6=cov6, opacities=opac, sh=sh, sh_rotations=ident
+    )
+
+
+def concat_edited(a: EditedGaussians, b: EditedGaussians) -> EditedGaussians:
+    import jax.numpy as jnp
+
+    return EditedGaussians(
+        *(jnp.concatenate([x, y]) for x, y in zip(a, b))
+    )
+
+
 def build_composite_scene(
     models,  # list of (FrostingParams, FrostingMeta)
     world_transforms=None,  # optional [M] 4x4 column-vector matrices
+    keep_background: bool = True,
 ) -> CompositeScene:
     """Concatenate frosting models into a single scene; per-model vertex
-    ranges let apply_poses_to_scene edit each mesh independently."""
+    ranges let apply_poses_to_scene edit each mesh independently.
+
+    Background Gaussians: like the reference (bf:360-371), the FIRST model
+    carrying a background contributes it, transformed by its world matrix;
+    the other models' backgrounds are dropped (a composite scene has one
+    world)."""
     import jax.numpy as jnp
 
     v_off = 0
@@ -322,6 +380,15 @@ def build_composite_scene(
     def cat(field):
         return jnp.concatenate([getattr(p, field) for p in parts])
 
+    bg = None
+    if keep_background:
+        for i, (p, _m) in enumerate(models):
+            if p.bg is not None:
+                bg = p.bg
+                if world_transforms is not None:
+                    bg = transform_background(bg, world_transforms[i])
+                break
+
     params = frosting_lib.FrostingParams(
         shell_verts=cat("shell_verts"),
         inner_dist=cat("inner_dist"),
@@ -332,7 +399,7 @@ def build_composite_scene(
         opacities_raw=cat("opacities_raw"),
         sh_dc=cat("sh_dc"),
         sh_rest=cat("sh_rest"),
-        bg=None,  # composite editing scenes drop background Gaussians
+        bg=bg,
     )
     # face offsets must account for concatenated face arrays
     face_off = np.cumsum([0] + [len(f) for f in faces[:-1]])

@@ -155,9 +155,13 @@ def _tile_counts_2d(rect, valid, cfg: RasterConfig) -> jnp.ndarray:
             preferred_element_type=jnp.float32,
         ), None
 
+    # inherit the device-varying type of the data (no-op numerically) so
+    # the scan carry is consistent under shard_map's varying-manual-axes
+    # check (same pattern as blend_jax)
+    taint = jnp.where(jnp.bool_(False), sign[0], jnp.float32(0))
     marks, _ = jax.lax.scan(
         block_hist,
-        jnp.zeros((hi_sz, lo_sz), jnp.float32),
+        jnp.zeros((hi_sz, lo_sz), jnp.float32) + taint,
         (
             cidx_hi.reshape(-1, blk),
             cidx_lo.reshape(-1, blk),

@@ -164,3 +164,56 @@ def test_simple_adaptation_rigid_parity():
     np.testing.assert_allclose(
         np.asarray(out_s.image), np.asarray(out_f.image), atol=5e-3
     )
+
+
+def test_composite_keeps_background_gaussians():
+    """The first model's background Gaussians survive composition,
+    world-transformed (bf:360-371); rendering them changes the image."""
+    from frosting_tpu.scene.gaussians import GaussianParams
+
+    params, meta = _make_frosting(n=256)
+    rng = np.random.default_rng(7)
+    nb = 64
+    bg = GaussianParams(
+        means3d=jnp.asarray(rng.uniform(1.5, 2.5, (nb, 3)), jnp.float32),
+        sh_dc=jnp.asarray(rng.normal(size=(nb, 1, 3)), jnp.float32),
+        sh_rest=jnp.zeros((nb, 15, 3), jnp.float32),
+        scales_log=jnp.full((nb, 3), np.log(0.2), jnp.float32),
+        quats_raw=jnp.concatenate(
+            [jnp.ones((nb, 1)), jnp.zeros((nb, 3))], -1
+        ),
+        opacities_raw=jnp.full((nb,), 2.0, jnp.float32),
+        mask=jnp.ones((nb,), jnp.float32),
+    )
+    params = dataclasses.replace(params, bg=bg)
+
+    # uniform-scale rigid world transform
+    s = 2.0
+    T = np.diag([s, s, s, 1.0]).astype(np.float32)
+    T[:3, 3] = [0.5, 0.0, 0.0]
+    scene = editing.build_composite_scene(
+        [(params, meta)], world_transforms=[T]
+    )
+    assert scene.params.bg is not None
+    moved = np.asarray(scene.params.bg.means3d)
+    expect = np.asarray(bg.means3d) * s + np.asarray([0.5, 0.0, 0.0])
+    np.testing.assert_allclose(moved, expect, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(scene.params.bg.scales_log),
+        np.asarray(bg.scales_log) + np.log(s),
+        rtol=1e-5,
+    )
+
+    # rendering with bg composited differs from without
+    from frosting_tpu.cameras import look_at_camera
+
+    eg = editing.adapt_frosting(
+        scene.params, scene.meta, scene.params.shell_verts
+    )
+    bg_eg = editing.background_to_edited(scene.params.bg)
+    both = editing.concat_edited(eg, bg_eg)
+    cam = look_at_camera(eye=[0.0, 0.0, -4.0], target=[1.0, 0.0, 0.0])
+    img_no = np.asarray(editing.render_edited(eg, cam, CFG).image)
+    img_bg = np.asarray(editing.render_edited(both, cam, CFG).image)
+    assert np.isfinite(img_bg).all()
+    assert np.abs(img_bg - img_no).max() > 0.01
