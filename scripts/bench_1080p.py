@@ -38,7 +38,7 @@ def main():
 
     w, h = 1920, 1080
     probe_cfg = RasterConfig(
-        width=w, height=h, chunk=128, max_instances=1 << 23, backend="auto"
+        width=w, height=h, chunk=128, max_instances=1 << 22, backend="auto"
     )
     n_inst = int(
         jax.jit(lambda g, c: count_instances(*g, c, probe_cfg))(gs, cam)
