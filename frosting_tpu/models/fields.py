@@ -121,8 +121,13 @@ def sample_points_in_gaussians(
         weights = weights * mask
     k1, k2 = jax.random.split(key)
     p = weights / jnp.maximum(jnp.sum(weights), 1e-12)
-    idx = jax.random.categorical(
-        k1, jnp.log(jnp.maximum(p, 1e-30)), shape=(n_samples,)
+    # inverse-CDF sampling: categorical(shape=(S,)) materializes an [S, N]
+    # Gumbel matrix (~100 GB at 200k samples x 131k capacity); the
+    # cumsum + binary search is O(S log N) and scale-safe
+    cdf = jnp.cumsum(p)
+    u = jax.random.uniform(k1, (n_samples,), maxval=cdf[-1])
+    idx = jnp.clip(
+        jnp.searchsorted(cdf, u, side="right"), 0, centers.shape[0] - 1
     )
     eps = jax.random.normal(k2, (n_samples, 3)) * scales[idx] * scale_factor
     offs = jnp.einsum("sij,sj->si", quat_ops.to_matrix(quats[idx]), eps)

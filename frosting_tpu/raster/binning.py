@@ -174,6 +174,43 @@ def _tile_counts_2d(rect, valid, cfg: RasterConfig) -> jnp.ndarray:
     return grid[: cfg.tiles_y, : cfg.tiles_x].reshape(-1)
 
 
+def _empty_binned(cfg: RasterConfig) -> Binned:
+    """Binned result for an N=0 scene: one padding chunk per tile (every
+    tile's output block is still written), zero real work rows."""
+    i32 = jnp.int32
+    k = cfg.chunk
+    nt = cfg.n_tiles
+    tile_ids = jnp.arange(nt, dtype=i32)
+    padded_gauss = jnp.zeros((cfg.padded_rows,), i32)  # gaussian N==0 rows
+    # ... but the sentinel id must be n (=0): every row already is 0, and
+    # with n==0 the gather tables are empty, so the blend's fields gather
+    # uses mode="clip" on the zero sentinel row appended by pack_fields
+    work_block = jnp.where(
+        jnp.arange(cfg.work_cap, dtype=i32) < nt,
+        jnp.minimum(jnp.arange(cfg.work_cap, dtype=i32), nt - 1),
+        cfg.n_blocks - 1,
+    ).astype(i32)
+    is_real = jnp.arange(cfg.work_cap, dtype=i32) < nt
+    work_out = jnp.where(is_real, jnp.arange(cfg.work_cap, dtype=i32), nt)
+    px0 = (tile_ids % cfg.tiles_x * cfg.tile_w).astype(i32)
+    py0 = (tile_ids // cfg.tiles_x * cfg.tile_h).astype(i32)
+    pxy = jnp.zeros((cfg.work_cap,), i32).at[:nt].set((px0 << 16) | py0)
+    return Binned(
+        padded_gauss=padded_gauss,
+        work_block=work_block,
+        work_meta=(work_out * 4 + is_real * 2 + is_real).astype(i32),
+        work_pxy=pxy,
+        tile_block0=tile_ids,
+        tile_nchunks=jnp.ones((nt,), i32),
+        inv_map=jnp.zeros((cfg.max_instances,), i32),
+        gauss_orig=jnp.zeros((cfg.max_instances,), i32),
+        gauss_bounds=jnp.zeros((1,), i32),
+        n_work=jnp.asarray(nt, i32),
+        num_instances=jnp.zeros((), i32),
+        overflow=jnp.zeros((), jnp.bool_),
+    )
+
+
 def bin_gaussians(
     rect: jnp.ndarray,  # [N, 4] int32 tile bbox
     depths: jnp.ndarray,  # [N] f32
@@ -183,6 +220,11 @@ def bin_gaussians(
     n = rect.shape[0]
     cap = cfg.max_instances
     i32 = jnp.int32
+
+    if n == 0:
+        # degenerate scene (everything culled/pruned upstream): every tile
+        # gets one all-pad chunk, the kernels blend nothing
+        return _empty_binned(cfg)
 
     tx0, ty0, tx1, ty1 = rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3]
     w = tx1 - tx0
@@ -237,21 +279,27 @@ def bin_gaussians(
     base = ty0 * cfg.tiles_x + tx0
     gauss_ids = jnp.arange(n, dtype=i32)
 
+    # ONE scatter-decode recovers the per-instance gaussian id; every other
+    # per-instance field is then a GATHER from its per-gaussian table keyed
+    # by gauss_c. The decode scatter costs ~8.7 ns/update (scalar rate) so
+    # three of them dominated binning; gauss_c is monotone nondecreasing,
+    # so the gathers are sequential-locality reads at vector/memory rate.
+    gauss_c = decode(gauss_ids)
+    gidx = jnp.minimum(gauss_c, max(n - 1, 0))
     if bits_cap + 9 <= 31:
-        ch_ow = decode(offs * 512 + w)
+        ch_ow = jnp.take(offs * 512 + w, gidx, mode="clip")
         i_off = ch_ow >> 9
         i_w = jnp.maximum(ch_ow & 511, 1)
     else:
-        i_off = decode(offs)
-        i_w = jnp.maximum(decode(w), 1)
+        i_off = jnp.take(offs, gidx, mode="clip")
+        i_w = jnp.maximum(jnp.take(w, gidx, mode="clip"), 1)
     if bits_t + bits_n <= 31:
-        ch_br = decode(base * (1 << bits_n) + depth_rank)
+        ch_br = jnp.take(base * (1 << bits_n) + depth_rank, gidx, mode="clip")
         i_base = ch_br >> bits_n
         i_rnk = ch_br & ((1 << bits_n) - 1)
     else:
-        i_base = decode(base)
-        i_rnk = decode(depth_rank)
-    gauss_c = decode(gauss_ids)
+        i_base = jnp.take(base, gidx, mode="clip")
+        i_rnk = jnp.take(depth_rank, gidx, mode="clip")
 
     i_rank = inst - i_off
     # small-int div via f32 (exact for values < 2^24)

@@ -70,14 +70,31 @@ def _forward_kernel(
     #            aligned, which Mosaic requires for manual DMA slices (a
     #            (K, 16)-row slice is not).
     # outputs
-    out_ref,  # (1, 4, P) VMEM block of this tile
+    out_ref,  # (TPP, 4, P) VMEM block of this program's tiles
     # scratch
     buf_ref,  # (2, SB, 16, K) double-buffered instance superblocks
     sem_ref,  # (2,) DMA semaphores
     *,
     cfg: RasterConfig,
 ):
-    t = pl.program_id(0)
+    # One grid program handles cfg.tpp consecutive tiles: Pallas TPU grids
+    # run sequentially on the TensorCore and each program entry costs ~5 us
+    # of fixed overhead, which at fine tile grids (512+ programs) was a
+    # measured ~2.5 ms floor. Each tile's chunk walk below is unchanged;
+    # all DMA copies of a tile are drained before the next tile reuses the
+    # scratch slots.
+    for j in range(cfg.tpp):
+        _forward_one_tile(
+            pl.program_id(0) * cfg.tpp + j,
+            j, s_block0, s_nchunk, inst_hbm, out_ref, buf_ref, sem_ref,
+            cfg=cfg,
+        )
+
+
+def _forward_one_tile(
+    t, j, s_block0, s_nchunk, inst_hbm, out_ref, buf_ref, sem_ref,
+    *, cfg: RasterConfig
+):
     block0 = s_block0[t]
     n = s_nchunk[t]
     p = cfg.tile_pixels
@@ -148,8 +165,8 @@ def _forward_kernel(
 
     # one small transpose per TILE (the P-major math is transpose-free
     # per chunk)
-    out_ref[0, 0:3] = color.T
-    out_ref[0, 3:4] = t_mask.T
+    out_ref[j, 0:3] = color.T
+    out_ref[j, 3:4] = t_mask.T
 
 
 def to_block_layout(padded_fields: jnp.ndarray, cfg: RasterConfig):
@@ -170,12 +187,12 @@ def blend_forward_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(cfg.n_tiles,),
+        grid=(cfg.n_tiles // cfg.tpp,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 4, p),
+            (cfg.tpp, 4, p),
             lambda t, *_: (t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -208,8 +225,8 @@ def _backward_kernel(
     # inputs
     inst_hbm,  # [n_blocks, 16, K] ANY
     zeros_hbm,  # [n_blocks, 16, K] ANY, aliased to grads output
-    fwd_ref,  # (1, 4, P) forward output of this tile
-    g_ref,  # (1, 4, P) cotangent of this tile
+    fwd_ref,  # (TPP, 4, P) forward outputs of this program's tiles
+    g_ref,  # (TPP, 4, P) cotangents of this program's tiles
     # outputs
     grad_hbm,  # [n_blocks, 16, K] ANY (pre-zeroed via aliasing)
     # scratch
@@ -220,7 +237,21 @@ def _backward_kernel(
     *,
     cfg: RasterConfig,
 ):
-    t = pl.program_id(0)
+    # tpp consecutive tiles per program (see _forward_kernel); each tile's
+    # in- and out-DMAs are fully drained before the next tile reuses the
+    # scratch slots.
+    for j in range(cfg.tpp):
+        _backward_one_tile(
+            pl.program_id(0) * cfg.tpp + j,
+            j, s_block0, s_nchunk, inst_hbm, fwd_ref, g_ref, grad_hbm,
+            buf_ref, gbuf_ref, isem_ref, osem_ref, cfg=cfg,
+        )
+
+
+def _backward_one_tile(
+    t, j, s_block0, s_nchunk, inst_hbm, fwd_ref, g_ref, grad_hbm,
+    buf_ref, gbuf_ref, isem_ref, osem_ref, *, cfg: RasterConfig
+):
     block0 = s_block0[t]
     n = s_nchunk[t]
     p = cfg.tile_pixels
@@ -229,10 +260,10 @@ def _backward_kernel(
     px, py = _tile_pixel_coords(t, cfg)
     basis_t, cx, cy = _tile_pixel_basis_t(t, cfg)
 
-    g_color = g_ref[0, 0:3].T  # (P, 3)
-    g_tmask = g_ref[0, 3:4].T  # (P, 1)
-    c_total = fwd_ref[0, 0:3].T
-    t_final_mask = fwd_ref[0, 3:4].T
+    g_color = g_ref[j, 0:3].T  # (P, 3)
+    g_tmask = g_ref[j, 3:4].T  # (P, 1)
+    c_total = fwd_ref[j, 0:3].T
+    t_final_mask = fwd_ref[j, 3:4].T
     gc_total = jnp.sum(g_color * c_total, axis=1, keepdims=True)
 
     def in_dma(slot, s):
@@ -347,15 +378,19 @@ def blend_backward_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(cfg.n_tiles,),
+        grid=(cfg.n_tiles // cfg.tpp,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, 4, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                (cfg.tpp, 4, p),
+                lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 4, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                (cfg.tpp, 4, p),
+                lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),

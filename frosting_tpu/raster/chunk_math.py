@@ -204,13 +204,14 @@ def backward_chunk(
     cols = fields[6:9, :]  # (3, K)
     op = fields[5:6, :]
 
-    # u_pk = sum_ch g_color_pc * color_kc : (P, K)
-    u = jax.lax.dot_general(
-        g_color,
-        cols,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    # u_pk = sum_ch g_color_pc * color_kc : (P, K). Elementwise broadcast
+    # (5 VPU ops), NOT a matmul: a (P, K)-shaped MXU output at HIGHEST
+    # costs ~a full matmul pass regardless of the 3-deep contraction —
+    # the same measured trade as the forward `power` (see tile_basis_t).
+    u = (
+        g_color[:, 0:1] * cols[0:1, :]
+        + g_color[:, 1:2] * cols[1:2, :]
+        + g_color[:, 2:3] * cols[2:3, :]
     )
     contrib = u * c.w  # (P, K)
     cum_incl = cumsum_incl(contrib)

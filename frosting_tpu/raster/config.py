@@ -66,6 +66,12 @@ class RasterConfig:
     # buffer carries S-1 trailing slack blocks so the last superblock of a
     # tile may over-read harmlessly.
     dma_superblock: int = 4
+    # Tiles processed by ONE Pallas grid program. TPU Pallas grids execute
+    # sequentially on the single TensorCore, and each program entry costs
+    # ~5 us (measured: 2.46 ms noop floor at 512 single-tile programs), so
+    # batching tiles amortizes that fixed cost. 0 = auto (largest of
+    # 8/4/2/1 dividing n_tiles).
+    tiles_per_program: int = 0
     # Blend backend: "auto" (pallas on TPU, jax elsewhere), "pallas", "jax".
     backend: str = "auto"
     # Run Pallas kernels in interpreter mode (CPU testing of the TPU path).
@@ -121,3 +127,15 @@ class RasterConfig:
     @property
     def work_cap(self) -> int:
         return self.n_blocks
+
+    @property
+    def tpp(self) -> int:
+        """Resolved tiles_per_program (see the field docstring)."""
+        if self.tiles_per_program:
+            if self.n_tiles % self.tiles_per_program:
+                raise ValueError("tiles_per_program must divide n_tiles")
+            return self.tiles_per_program
+        for c in (8, 4, 2):
+            if self.n_tiles % c == 0:
+                return c
+        return 1

@@ -1,8 +1,10 @@
-"""Sweep blend-kernel config knobs (chunk, dma_superblock) at the bench
-shape, with bench.py's exact measurement methodology (fori_loop + salt,
-autotuned capacity, means+opacity perturbed per iteration).
+"""Sweep blend-kernel config knobs (chunk, dma_superblock, and optionally
+tile_w, tile_h, tiles_per_program) at the bench shape, with bench.py's
+exact measurement methodology (fori_loop + salt, autotuned capacity,
+means+opacity perturbed per iteration).
 
-Run:  python scripts/perf_sweep.py "128,4 128,8 128,16 64,8"
+Run:  python scripts/perf_sweep.py "128,4 128,8"
+      python scripts/perf_sweep.py "128,4,32,16,4 128,4,16,16,8"
 """
 
 import sys
@@ -53,11 +55,24 @@ def main():
     )
     print("instances:", n_inst, flush=True)
 
-    for chunk, sb in combos:
+    for combo in combos:
+        chunk, sb = combo[0], combo[1]
+        tw, th = (combo[2], combo[3]) if len(combo) > 3 else (32, 16)
+        tpp = combo[4] if len(combo) > 4 else 0
+        # instance counts depend on tile size: re-probe per combo
+        pcfg = RasterConfig(
+            width=512, height=512, tile_w=tw, tile_h=th, chunk=chunk,
+            max_instances=1 << 21, backend="auto",
+        )
+        n_inst = int(
+            jax.jit(lambda g, c, pcfg=pcfg: count_instances(*g, c, pcfg))(
+                gs, cam
+            )
+        )
         cfg = RasterConfig(
-            width=512, height=512, chunk=chunk,
+            width=512, height=512, tile_w=tw, tile_h=th, chunk=chunk,
             max_instances=autotune_max_instances(n_inst, chunk, safety=1.25),
-            dma_superblock=sb, backend="auto",
+            dma_superblock=sb, tiles_per_program=tpp, backend="auto",
         )
         target = jnp.zeros((3, 512, 512), jnp.float32)
 
@@ -98,7 +113,8 @@ def main():
         rf = float(bench_fwd(*gs, cam, 0.0171))
         dtf = (time.perf_counter() - t0) / iters * 1e3
         print(
-            f"chunk={chunk} sb={sb} cap={cfg.max_instances}: "
+            f"chunk={chunk} sb={sb} tile={tw}x{th} tpp={cfg.tpp} "
+            f"cap={cfg.max_instances} inst={n_inst}: "
             f"fwd+bwd {dt:.2f} ms/iter  fwd {dtf:.2f} ms/iter",
             flush=True,
         )

@@ -60,3 +60,17 @@ def test_pallas_gradients_match_jax():
         np.testing.assert_allclose(
             a / scale, b / scale, atol=5e-5, err_msg=f"grad mismatch: {name}"
         )
+
+
+def test_tiles_per_program_parity():
+    """Grouped-tile kernels (tiles_per_program > 1) must match tpp=1 and
+    the JAX twin exactly: same math, different grid batching."""
+    gs = make_scene(n=200, seed=21)
+    out_ref = render(*gs, CAM, CFG_JAX, bg=BG)
+    for tpp in (1, 2, 4):
+        cfg = dataclasses.replace(CFG_PALLAS, tiles_per_program=tpp)
+        out = render(*gs, CAM, cfg, bg=BG)
+        np.testing.assert_allclose(
+            np.asarray(out.image), np.asarray(out_ref.image),
+            atol=1e-5, rtol=1e-5, err_msg=f"tpp={tpp}",
+        )
