@@ -149,5 +149,50 @@ def main():
     )
 
 
+def _tunnel_healthy(timeout_s: int = 90) -> bool:
+    """Pre-flight probe in a THROWAWAY subprocess: the wedged tunnel can
+    either raise UNAVAILABLE at init or hang forever on the first
+    dispatch, and JAX caches a failed init process-wide — so the probe
+    must be expendable."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float((jnp.ones((8, 128)) * 2).sum()))"
+    )
+    try:
+        return (
+            subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            ).returncode
+            == 0
+        )
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main_with_retry(attempts: int = 5, wait_s: int = 150):
+    """The TPU tunnel occasionally wedges for minutes at a time; don't let
+    a transient outage lose the benchmark run."""
+    import sys
+
+    for attempt in range(attempts):
+        if _tunnel_healthy():
+            main()
+            return
+        print(
+            f"TPU tunnel unhealthy (probe {attempt + 1}/{attempts}); "
+            f"retrying in {wait_s}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(wait_s)
+    main()  # last resort: run anyway and let the real error surface
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retry()
