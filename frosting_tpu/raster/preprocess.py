@@ -17,7 +17,11 @@ import jax.numpy as jnp
 from frosting_tpu.cameras import Camera, ndc_to_pix
 from frosting_tpu.ops import cov as cov_ops
 from frosting_tpu.ops import sh as sh_ops
-from frosting_tpu.raster.config import INSTANCE_WIDTH, RasterConfig
+from frosting_tpu.raster.config import (
+    ALPHA_CUTOFF,
+    INSTANCE_WIDTH,
+    RasterConfig,
+)
 
 
 class Projected(NamedTuple):
@@ -94,19 +98,54 @@ def preprocess(
     # 3*sigma_max bbox: same tile-level truncation semantics, far fewer
     # duplicated instances for anisotropic splats (ops/cov.axis_extents).
     rx, ry = cov_ops.axis_extents(cov2d)
+    # Opacity-aware shrink: the blend zeroes alpha below ALPHA_CUTOFF
+    # (chunk_math.py:144, renderCUDA's `alpha < 1/255 -> continue`), so
+    # outside the {q <= 2 ln(255 opac)} ellipse a gaussian contributes
+    # EXACTLY nothing forward or backward. For opac < e^{4.5}/255 ~ 0.35
+    # that ellipse is smaller than the 3-sigma one — shrink the rect to it
+    # (identical output, fewer instances; opac <= 1/255 culls entirely).
+    # Common during densification (opacity resets) and coarse SuGaR
+    # (entropy drives opacities to ~0 before pruning).
+    # +1e-2 margin in the q domain: the log path here and the exp path in
+    # the blend round differently in f32; without slack, boundary pixels
+    # whose alpha just clears the cutoff could fall outside the rect.
+    t_cut = jnp.sqrt(
+        jnp.clip(
+            2.0 * jnp.log(255.0 * jnp.maximum(opacities, 1e-12)) + 1e-2,
+            0.0,
+            9.0,
+        )
+    ) * (1.0 / 3.0)
+    rx = rx * t_cut
+    ry = ry * t_cut
     keep = in_front & (det > 0.0)
     rx = jnp.where(keep, rx, 0.0)
     ry = jnp.where(keep, ry, 0.0)
-    tx0 = jnp.clip(((mean_x - rx) // cfg.tile_w), 0, cfg.tiles_x).astype(jnp.int32)
-    ty0 = jnp.clip(((mean_y - ry) // cfg.tile_h), 0, cfg.tiles_y).astype(jnp.int32)
+    # Pixel samples sit at integer coordinates, so the covered pixel-index
+    # range is [ceil(mean - r), floor(mean + r)] and the exclusive tile end
+    # is floor(mean + r) // tile + 1. (The previous `(mean + r + tile - 1)
+    # // tile` ceil under-covered one tile whenever the ellipse edge landed
+    # within 1 px past a tile boundary — caught by the dense-eval test.)
+    tx0 = jnp.clip(
+        jnp.ceil(mean_x - rx) // cfg.tile_w, 0, cfg.tiles_x
+    ).astype(jnp.int32)
+    ty0 = jnp.clip(
+        jnp.ceil(mean_y - ry) // cfg.tile_h, 0, cfg.tiles_y
+    ).astype(jnp.int32)
     tx1 = jnp.clip(
-        ((mean_x + rx + cfg.tile_w - 1) // cfg.tile_w), 0, cfg.tiles_x
+        jnp.floor(mean_x + rx) // cfg.tile_w + 1, 0, cfg.tiles_x
     ).astype(jnp.int32)
     ty1 = jnp.clip(
-        ((mean_y + ry + cfg.tile_h - 1) // cfg.tile_h), 0, cfg.tiles_y
+        jnp.floor(mean_y + ry) // cfg.tile_h + 1, 0, cfg.tiles_y
     ).astype(jnp.int32)
+    # empty coverage can yield tx1 < tx0 (e.g. r=0 at a non-integer mean):
+    # clamp so rect widths are never negative downstream
+    tx1 = jnp.maximum(tx1, tx0)
+    ty1 = jnp.maximum(ty1, ty0)
     area = (tx1 - tx0) * (ty1 - ty0)
-    valid = in_front & (det > 0.0) & (area > 0)
+    # opac < ALPHA_CUTOFF => raw = opac * exp(power <= 0) < cutoff at every
+    # pixel => alpha identically zero: cull outright (exact)
+    valid = in_front & (det > 0.0) & (area > 0) & (opacities >= ALPHA_CUTOFF)
     rect = jnp.stack([tx0, ty0, tx1, ty1], axis=-1)
     radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
 
@@ -130,14 +169,20 @@ def rect_for_grid(
     projection to a sub-rectangle)."""
     r = radii.astype(jnp.float32)
     mean_x, mean_y = means2d[..., 0], means2d[..., 1]
-    tx0 = jnp.clip((mean_x - r) // cfg.tile_w, 0, cfg.tiles_x).astype(jnp.int32)
-    ty0 = jnp.clip((mean_y - r) // cfg.tile_h, 0, cfg.tiles_y).astype(jnp.int32)
+    tx0 = jnp.clip(
+        jnp.ceil(mean_x - r) // cfg.tile_w, 0, cfg.tiles_x
+    ).astype(jnp.int32)
+    ty0 = jnp.clip(
+        jnp.ceil(mean_y - r) // cfg.tile_h, 0, cfg.tiles_y
+    ).astype(jnp.int32)
     tx1 = jnp.clip(
-        (mean_x + r + cfg.tile_w - 1) // cfg.tile_w, 0, cfg.tiles_x
+        jnp.floor(mean_x + r) // cfg.tile_w + 1, 0, cfg.tiles_x
     ).astype(jnp.int32)
     ty1 = jnp.clip(
-        (mean_y + r + cfg.tile_h - 1) // cfg.tile_h, 0, cfg.tiles_y
+        jnp.floor(mean_y + r) // cfg.tile_h + 1, 0, cfg.tiles_y
     ).astype(jnp.int32)
+    tx1 = jnp.maximum(tx1, tx0)
+    ty1 = jnp.maximum(ty1, ty0)
     area = (tx1 - tx0) * (ty1 - ty0)
     valid = (radii > 0) & (area > 0)
     return jnp.stack([tx0, ty0, tx1, ty1], axis=-1), valid

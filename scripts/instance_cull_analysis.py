@@ -11,9 +11,9 @@ exactly nothing forward or backward.
 Prints the fraction of instances each test removes.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

@@ -140,3 +140,44 @@ def test_principal_point_shift():
     dy = np.asarray(p1.means2d[:, 1] - p0.means2d[:, 1])
     np.testing.assert_allclose(dx, 0.1 * CFG.width, atol=1e-3)
     np.testing.assert_allclose(dy, -0.05 * CFG.height, atol=1e-3)
+
+
+def test_opacity_aware_rect_shrink_is_exact():
+    """The rect is shrunk to the {raw >= ALPHA_CUTOFF} ellipse for
+    low-opacity gaussians (preprocess.py t_cut). Outside it alpha is
+    zeroed by chunk_math anyway, so a DENSE evaluation (every gaussian
+    against every pixel, no rect mask) must match bit-for-bit whenever
+    all cutoff ellipses fit inside 3 sigma (opac < e^{4.5}/255 ~ 0.353)."""
+    rng = np.random.default_rng(11)
+    n = 150
+    means = rng.uniform(-0.8, 0.8, size=(n, 3))
+    scales = np.exp(rng.uniform(np.log(0.05), np.log(0.3), size=(n, 3)))
+    quats = rng.normal(size=(n, 4))
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    opac = rng.uniform(0.006, 0.34, size=(n,))
+    opac[:5] = 0.0030  # below 1/255: culled entirely, contributes nothing
+    sh = rng.normal(size=(n, 16, 3)) * 0.3
+    gs = tuple(
+        jnp.asarray(a, jnp.float32) for a in (means, scales, quats, opac, sh)
+    )
+
+    proj = preprocess(*gs, CAM, CFG)
+    # sub-cutoff gaussians must be culled outright
+    assert not np.asarray(proj.valid[:5]).any()
+
+    img_rect, t_rect = render_naive(proj, BG, CFG)
+    full = jnp.tile(
+        jnp.asarray([[0, 0, CFG.tiles_x, CFG.tiles_y]], jnp.int32), (n, 1)
+    )
+    dense = proj._replace(
+        rect=full, valid=jnp.ones((n,), bool) & (proj.depths > CFG.near)
+    )
+    img_dense, t_dense = render_naive(dense, BG, CFG)
+    np.testing.assert_array_equal(np.asarray(img_rect), np.asarray(img_dense))
+    np.testing.assert_array_equal(np.asarray(t_rect), np.asarray(t_dense))
+
+    # and the real binned path agrees with the oracle on this scene
+    out = render(*gs, CAM, CFG, bg=BG)
+    np.testing.assert_allclose(
+        np.asarray(out.image), np.asarray(img_rect), atol=2e-5, rtol=1e-4
+    )
