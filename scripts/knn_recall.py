@@ -35,8 +35,13 @@ def main():
     ap.add_argument("--sizes", default="100000,1000000,2000000")
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--sample", type=int, default=4096)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from scipy.spatial import cKDTree
 

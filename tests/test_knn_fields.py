@@ -26,7 +26,9 @@ def test_knn_recall():
     recall = np.mean(
         [len(set(a) & set(b)) / 8 for a, b in zip(np.asarray(idx), i_ref)]
     )
-    assert recall > 0.85, recall
+    # NN-descent refinement (default refine_rounds=1) lifts window recall
+    # from ~0.9 to ~0.99+
+    assert recall > 0.97, recall
     # distances of found neighbors must be exact
     n = pts.shape[0]
     d_check = np.sum(
@@ -51,7 +53,7 @@ def test_knn_ignores_dead_arena_slots():
     recall = np.mean(
         [len(set(a) & set(b)) / 8 for a, b in zip(np.asarray(idx)[:2000], ref[:, 1:])]
     )
-    assert recall > 0.9, recall
+    assert recall > 0.97, recall
     assert (np.asarray(idx)[:2000] < 2000).all()
 
 
