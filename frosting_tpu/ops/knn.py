@@ -82,7 +82,7 @@ def knn(
     window: int = 0,
     n_grids: int = 3,
     valid=None,  # [N] bool; invalid rows (dead arena slots) are excluded
-    refine_rounds: int = 1,  # NN-descent rounds over the candidate graph
+    refine_rounds: int = -1,  # NN-descent rounds; -1 = N-adaptive (1 or 2)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-KNN. Returns (idx [N, k], sqdist [N, k]), neighbor 0
     being the nearest (excluding self). With `valid`, dead rows neither
@@ -98,6 +98,11 @@ def knn(
     n = points.shape[0]
     if window == 0:
         window = 48 if n <= (1 << 18) else 64
+    if refine_rounds < 0:
+        # one NN-descent round converges to ~0.99 recall below ~1M points;
+        # the larger clouds where window recall drops furthest get two
+        # (self-KNN runs off the hot loop — every-500-iters resets/init)
+        refine_rounds = 1 if n <= (1 << 20) else 2
 
     ranks_orders = []
     for g in range(n_grids):

@@ -52,7 +52,17 @@ def main():
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--n-cams", type=int, default=24)
     ap.add_argument("--target-vertices", type=int, default=1_000_000)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (the axon plugin overrides "
+        "JAX_PLATFORMS=cpu at import; this uses jax.config instead)",
+    )
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from frosting_tpu.extract.shell import ShellConfig, extract_shell
     from frosting_tpu.raster import RasterConfig
