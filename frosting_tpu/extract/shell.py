@@ -269,7 +269,7 @@ def extract_shell(
     from frosting_tpu.extract import meshclean
 
     all_pts, all_nrm, all_inner = [], [], []
-    for cam in cameras:
+    for i, cam in enumerate(cameras):
         o, nrm, inner, valid = level_points_from_camera(
             means, scales, quats, opac, cam, rcfg, cfg
         )
@@ -277,6 +277,12 @@ def extract_shell(
         all_pts.append(np.asarray(o)[v])
         all_nrm.append(np.asarray(nrm)[v])
         all_inner.append(np.asarray(inner)[v])
+        if verbose:
+            print(
+                f"[shell] camera {i + 1}/{len(cameras)}: "
+                f"{int(v.sum())} level points",
+                flush=True,
+            )
     pts = np.concatenate(all_pts)
     nrm = np.concatenate(all_nrm)
     inner = np.concatenate(all_inner)

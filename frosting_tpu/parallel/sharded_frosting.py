@@ -82,6 +82,19 @@ def make_sharded_frosting_step(
     strip_h = s_cfg.height
     bg_value = 1.0 if cfg.white_background else 0.0
 
+    nc_pairs = None
+    if cfg.regularize_shell:
+        import numpy as _np
+
+        from frosting_tpu.ops import mesh as _mesh_ops
+
+        # static topology, computed once at build time; the term is
+        # evaluated on replicated params (identical on every device) and
+        # scaled so its psum contributes exactly once per step
+        nc_pairs = jnp.asarray(
+            _mesh_ops.adjacent_face_pairs(_np.asarray(meta.faces))
+        )
+
     def device_loss(params: FrostingParams, camera, gt_strip, active_deg):
         bg_color = jnp.full((3,), bg_value, jnp.float32)
         tile_idx = jax.lax.axis_index("tile")
@@ -133,6 +146,14 @@ def make_sharded_frosting_step(
             1.0 - ssim_strips(out.image, gt_strip, "tile")
         )
         loss = loss / (n_data * n_tile)
+        if nc_pairs is not None:
+            from frosting_tpu.train.frosting_trainer import (
+                _shell_normal_consistency,
+            )
+
+            loss = loss + _shell_normal_consistency(
+                params, meta, nc_pairs, cfg
+            ) / (n_data * n_tile)
         aux = (
             out.num_instances,
             out.overflow,

@@ -51,6 +51,14 @@ class FrostingTrainConfig:
     lr_max_steps: int = 15_000
     eps: float = 1e-15
     white_background: bool = False
+    # --regularize_shell (refine.py:144,513-515; factor train.py:68). NOTE:
+    # the reference applies mesh_normal_consistency to shell_base, whose
+    # verts never join the optimizer (the param group is commented out,
+    # frosting_optimizer.py:76) — the term is functionally inert there.
+    # Here it regularizes the surfaces that actually TRAIN under
+    # learn_shell: the inner/outer offset meshes (verts + dist * normal).
+    regularize_shell: bool = False
+    normal_consistency_factor: float = 0.1
     # occlusion culling (refine.py:136): apply every 2nd iteration
     use_occlusion_culling: bool = False
     cull_every: int = 2
@@ -131,6 +139,25 @@ def _step_from_loss(loss_fn, params, opt_state, tx):
     return params, opt_state, aux
 
 
+def _shell_normal_consistency(
+    p: FrostingParams, meta: FrostingMeta, nc_pairs: jnp.ndarray,
+    cfg: FrostingTrainConfig,
+):
+    """Normal-consistency of the learned inner/outer offset surfaces —
+    gradients flow to inner_dist/outer_dist (and shell_verts when those
+    train). See the regularize_shell config note."""
+    from frosting_tpu.ops import mesh as mesh_ops
+
+    vn = mesh_ops.vertex_normals(p.shell_verts, meta.faces)
+    l_out = mesh_ops.normal_consistency_loss(
+        p.shell_verts + p.outer_dist[:, None] * vn, meta.faces, nc_pairs
+    )
+    l_in = mesh_ops.normal_consistency_loss(
+        p.shell_verts + p.inner_dist[:, None] * vn, meta.faces, nc_pairs
+    )
+    return cfg.normal_consistency_factor * 0.5 * (l_out + l_in)
+
+
 def _photometric(out, gt_image, cfg: FrostingTrainConfig):
     loss = (1.0 - cfg.lambda_dssim) * l1_loss(out.image, gt_image) + (
         cfg.lambda_dssim
@@ -155,6 +182,7 @@ def frosting_train_step(
     rcfg: RasterConfig,
     cfg: FrostingTrainConfig,
     active_sh_degree: int,
+    nc_pairs: jnp.ndarray | None = None,
 ):
     bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
 
@@ -165,7 +193,10 @@ def frosting_train_step(
             means, scales, quats, opac, sh, camera, rcfg, bg=bg,
             active_sh_degree=active_sh_degree,
         )
-        return _photometric(out, gt_image, cfg)
+        loss, aux = _photometric(out, gt_image, cfg)
+        if cfg.regularize_shell and nc_pairs is not None:
+            loss = loss + _shell_normal_consistency(p, meta, nc_pairs, cfg)
+        return loss, aux
 
     return _step_from_loss(loss_fn, params, opt_state, tx)
 
@@ -185,6 +216,7 @@ def frosting_train_step_culled(
     rcfg: RasterConfig,
     cfg: FrostingTrainConfig,
     active_sh_degree: int,
+    nc_pairs: jnp.ndarray | None = None,
 ):
     """Occlusion-culled step: renders only the compacted visible subset, so
     preprocess/binning/blend cost scales with the visible count, matching
@@ -200,7 +232,10 @@ def frosting_train_step_culled(
             means, scales, quats, opac, sh, camera, rcfg, bg=bg,
             active_sh_degree=active_sh_degree,
         )
-        return _photometric(out, gt_image, cfg)
+        loss, aux = _photometric(out, gt_image, cfg)
+        if cfg.regularize_shell and nc_pairs is not None:
+            loss = loss + _shell_normal_consistency(p, meta, nc_pairs, cfg)
+        return loss, aux
 
     return _step_from_loss(loss_fn, params, opt_state, tx)
 
@@ -274,6 +309,15 @@ def train(
     n_frosting = params.bary_logits.shape[0]
     n_total = n_frosting + (0 if params.bg is None else params.bg.capacity)
     ones_mask = jnp.ones((n_total,), jnp.float32)
+    nc_pairs = None
+    if cfg.regularize_shell:
+        from frosting_tpu.ops import mesh as mesh_ops
+
+        nc_pairs = jax.device_put(
+            jnp.asarray(
+                mesh_ops.adjacent_face_pairs(np.asarray(meta.faces))
+            )
+        )
     vis_idx = vis_valid = None
     if cfg.use_occlusion_culling:
         vis = precompute_visibility(params, meta, cameras, rcfg)
@@ -295,11 +339,12 @@ def train(
             params, opt_state, aux = frosting_train_step_culled(
                 params, opt_state, meta, cameras[ci], gt_dev[ci],
                 vis_idx[ci], vis_valid[ci], tx, rcfg, cfg, cfg.sh_degree,
+                nc_pairs,
             )
         else:
             params, opt_state, aux = frosting_train_step(
                 params, opt_state, meta, cameras[ci], gt_dev[ci], ones_mask,
-                tx, rcfg, cfg, cfg.sh_degree,
+                tx, rcfg, cfg, cfg.sh_degree, nc_pairs,
             )
         if (it - start_iteration) % cfg.log_every == 0 or it == (
             start_iteration + cfg.iterations

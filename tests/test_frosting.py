@@ -254,3 +254,66 @@ def test_self_intersection_avoidance():
     )
     assert bad_naive > 20  # unchecked growth really does self-intersect
     assert bad < bad_naive // 2
+
+
+def test_regularize_shell_normal_consistency():
+    """regularize_shell must penalize bumpy learned offset surfaces and
+    send gradients to the dists (the reference's term is inert: its shell
+    verts never join the optimizer, frosting_optimizer.py:76)."""
+    from frosting_tpu.ops import mesh as mesh_ops
+    from frosting_tpu.train.frosting_trainer import (
+        FrostingTrainConfig,
+        _shell_normal_consistency,
+    )
+
+    # icosphere-ish shell: use the synthetic sphere + extract is overkill —
+    # build a UV sphere directly
+    nlat, nlon = 12, 24
+    th = np.linspace(0.15, np.pi - 0.15, nlat)
+    ph = np.linspace(0, 2 * np.pi, nlon, endpoint=False)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    verts = np.stack(
+        [np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp), np.cos(tt)], -1
+    ).reshape(-1, 3)
+    faces = []
+    for i in range(nlat - 1):
+        for j in range(nlon):
+            a = i * nlon + j
+            b = i * nlon + (j + 1) % nlon
+            c = (i + 1) * nlon + j
+            d = (i + 1) * nlon + (j + 1) % nlon
+            faces += [[a, b, c], [b, d, c]]
+    faces = np.asarray(faces, np.int32)
+    pairs = jnp.asarray(mesh_ops.adjacent_face_pairs(faces))
+
+    n_v = verts.shape[0]
+    cfg = FrostingTrainConfig(
+        learn_shell=True, regularize_shell=True,
+        normal_consistency_factor=1.0,
+    )
+    meta = frosting_lib.FrostingMeta(
+        faces=jnp.asarray(faces), cell_idx=jnp.zeros((1,), jnp.int32)
+    )
+
+    def term(outer):
+        p = frosting_lib.FrostingParams(
+            shell_verts=jnp.asarray(verts, jnp.float32),
+            inner_dist=jnp.full((n_v,), -0.05, jnp.float32),
+            outer_dist=outer,
+            bary_logits=jnp.zeros((1, 6), jnp.float32),
+            scales_log=jnp.zeros((1, 3), jnp.float32),
+            quats_raw=jnp.asarray([[1.0, 0, 0, 0]], jnp.float32),
+            opacities_raw=jnp.zeros((1,), jnp.float32),
+            sh_dc=jnp.zeros((1, 1, 3), jnp.float32),
+            sh_rest=jnp.zeros((1, 15, 3), jnp.float32),
+        )
+        return _shell_normal_consistency(p, meta, pairs, cfg)
+
+    smooth = jnp.full((n_v,), 0.08, jnp.float32)
+    bumpy = smooth + 0.06 * jnp.asarray(
+        (np.arange(n_v) % 2) * 2.0 - 1.0, jnp.float32
+    )
+    l_s, l_b = float(term(smooth)), float(term(bumpy))
+    assert l_b > l_s * 1.5, (l_s, l_b)
+    g = np.asarray(jax.grad(lambda o: term(o))(bumpy))
+    assert np.isfinite(g).all() and np.abs(g).max() > 0

@@ -198,6 +198,32 @@ def test_sharded_frosting_refine_matches_single_device():
     # background gaussians moved in the sharded step too
     assert float(jnp.abs(p_new.bg.sh_dc - fparams.bg.sh_dc).max()) > 0
 
+    # regularize_shell parity: the sharded step's loss must equal the
+    # single-device photometric + ONE normal-consistency term
+    from frosting_tpu.ops import mesh as mesh_ops
+    from frosting_tpu.train.frosting_trainer import (
+        _shell_normal_consistency,
+    )
+
+    tcfg_reg = dataclasses.replace(
+        tcfg, learn_shell=True, regularize_shell=True
+    )
+    tx_reg = frosting_trainer.make_frosting_optimizer(tcfg_reg, 3.5)
+    step_reg = sf.make_sharded_frosting_step(
+        tx_reg, rcfg, tcfg_reg, mesh, meta
+    )
+    _p2, _o2, m_reg = step_reg(
+        fparams, tx_reg.init(fparams), cams_s, gts_s
+    )
+    pairs = jnp.asarray(
+        mesh_ops.adjacent_face_pairs(np.asarray(meta.faces))
+    )
+    nc = float(_shell_normal_consistency(fparams, meta, pairs, tcfg_reg))
+    assert nc > 0
+    np.testing.assert_allclose(
+        float(m_reg["loss"]), float(loss_ref) + nc, rtol=3e-4
+    )
+
     # exchange-routed refine step matches too (loss exactly, direction)
     step_ex = sf.make_sharded_frosting_step(
         tx, rcfg, tcfg, mesh, meta,
