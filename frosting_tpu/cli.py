@@ -47,6 +47,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--capacity", type=int, default=1 << 19)
     p.add_argument("--max-instances", type=int, default=1 << 21)
     p.add_argument(
+        "--learn-shell", action="store_true",
+        help="optimize the shell inner/outer offsets during refinement "
+        "(train.py --learn_shell)",
+    )
+    p.add_argument(
+        "--regularize-shell", action="store_true",
+        help="normal-consistency regularization of the learned offset "
+        "surfaces (train.py --regularize_shell; functional here, see "
+        "FrostingTrainConfig.regularize_shell)",
+    )
+    p.add_argument(
+        "-n", "--normal-consistency-factor", type=float, default=0.1,
+        help="weight of the shell normal-consistency term (train.py:68)",
+    )
+    p.add_argument(
         "--tiny", action="store_true",
         help="minutes-scale smoke preset (tiny budgets for all stages)",
     )
@@ -120,6 +135,9 @@ def main(argv=None):
             refine=frosting_trainer.FrostingTrainConfig(
                 iterations=120, lr_max_steps=120, log_every=40,
                 white_background=args.white_bg,
+                learn_shell=args.learn_shell,
+                regularize_shell=args.regularize_shell,
+                normal_consistency_factor=args.normal_consistency_factor,
             ),
         )
     else:
@@ -143,6 +161,9 @@ def main(argv=None):
                 iterations=refine_iters,
                 lr_max_steps=refine_iters,
                 white_background=args.white_bg,
+                learn_shell=args.learn_shell,
+                regularize_shell=args.regularize_shell,
+                normal_consistency_factor=args.normal_consistency_factor,
             ),
             use_background_gaussians=(args.regularization == "sdf"),
         )

@@ -185,6 +185,9 @@ def cmd_train_frosting(args):
         lr_max_steps=args.iterations,
         white_background=args.white_bg,
         use_occlusion_culling=args.occlusion_culling,
+        learn_shell=args.learn_shell,
+        regularize_shell=args.regularize_shell,
+        normal_consistency_factor=args.normal_consistency_factor,
     )
     fparams, _h = frosting_trainer.train(
         fparams, meta, scene.spatial_extent, cams, gt, rcfg, tcfg
@@ -367,6 +370,11 @@ def build_parser():
     sp.add_argument("--iterations", type=int, default=15_000)
     sp.add_argument("--use-background", action="store_true")
     sp.add_argument("--occlusion-culling", action="store_true")
+    sp.add_argument("--learn-shell", action="store_true")
+    sp.add_argument("--regularize-shell", action="store_true")
+    sp.add_argument(
+        "--normal-consistency-factor", type=float, default=0.1
+    )
     sp.set_defaults(fn=cmd_train_frosting)
 
     sp = sub.add_parser("extract-texture")
