@@ -215,8 +215,12 @@ def auto_poisson_resolution(
     quantile: float = 0.1,
 ) -> int:
     """Grid resolution 2^depth from the reference's auto-depth heuristic
-    (compute_optimal_poisson_depth, coarse_shell.py:17-49): pick the depth
-    whose cell size is ~1/100 of the 10%-quantile NN distance, capped."""
+    (compute_optimal_poisson_depth, coarse_shell.py:17-49):
+    depth = floor(-log2(ratio * q)) where q is the 10%-quantile
+    **SQUARED** NN distance normalized by the bbox size — PyTorch3D's
+    knn_points returns squared distances and the reference feeds them in
+    unrooted, so ratio=100 is calibrated against d^2/bbox (a linear-d
+    reading of the same formula yields depth <= 2 on any real scene)."""
     if len(points) < 4:
         return 64
     sub = points
@@ -226,7 +230,7 @@ def auto_poisson_resolution(
 
     bbox = 1.1 * float(np.max(sub.max(0) - sub.min(0)))
     d, _ = cKDTree(sub).query(sub, k=2, workers=-1)
-    q = float(np.quantile(d[:, 1], quantile)) / max(bbox, 1e-12)
+    q = float(np.quantile(d[:, 1], quantile)) ** 2 / max(bbox, 1e-12)
     depth = int(np.floor(-np.log2(max(cell_size_nn_distance_ratio * q, 1e-12))))
     depth = max(6, min(depth, int(np.log2(max_resolution))))
     return 1 << depth
