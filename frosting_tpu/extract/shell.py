@@ -64,6 +64,23 @@ class ShellConfig:
     # visibility-based connected-component culling (coarse_shell.py:565-617);
     # None disables it and keeps only the largest component
     visibility_threshold: float | None = 0.001
+    # Extraction method. "surface" (default) is the paper pipeline
+    # (ray-sampled level crossings). The other two are the reference's
+    # ablation paths (flags at coarse_shell.py:281-282):
+    #   "centers"  — Poisson on the gaussian CENTERS with density-gradient
+    #                normals (coarse_shell.py:637-772; the reference
+    #                estimates normals by local PCA, estimate_pointcloud_
+    #                normals — the density gradient gives the same surface
+    #                orientation without a PCA pass and stays on device)
+    #   "marching" — iso-surface of the density field on a regular grid
+    #                via marching tetrahedra (coarse_shell.py:773-907,
+    #                mcubes at 512^3; resolution configurable here)
+    method: str = "surface"
+    marching_resolution: int = 256
+    # centers path: drop near-transparent gaussians before meshing (the
+    # reference prunes opacity < 0.5 when loading the coarse model,
+    # coarse_shell.py:251-257)
+    centers_min_opacity: float = 0.5
 
 
 @functools.partial(jax.jit, static_argnames=("rcfg",))
@@ -208,6 +225,88 @@ def level_points_from_camera(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _density_grad_block(pts_block, means, scales, quats, opac, k: int):
+    """(density, d density/d point) for one block of query points."""
+    knn_idx, _ = knn_lib.knn_query(pts_block, means, k=k)
+
+    def density_at(p, idx):
+        return fields.field_values(
+            p[None], idx[None], means, opac, scales, quats,
+            beta_mode="average", density_factor=1.0,
+        ).density[0]
+
+    return jax.vmap(
+        lambda p, idx: jax.value_and_grad(lambda q: density_at(q, idx))(p)
+    )(pts_block, knn_idx)
+
+
+def eval_density_blocks(
+    means, scales, quats, opac, pts: np.ndarray, k: int, block: int = 65536
+):
+    """Blocked density(+gradient) evaluation over an arbitrary point set
+    (the reference's 2M-points-per-pass loop, coarse_shell.py:799-805).
+    Returns numpy (density [M], grad [M, 3])."""
+    m = len(pts)
+    out_d = np.empty((m,), np.float32)
+    out_g = np.empty((m, 3), np.float32)
+    for i in range(0, m, block):
+        blk = np.asarray(pts[i : i + block], np.float32)
+        pad = block - len(blk)
+        if pad:
+            blk = np.concatenate([blk, np.zeros((pad, 3), np.float32)])
+        d, g = _density_grad_block(
+            jnp.asarray(blk), means, scales, quats, opac, k
+        )
+        out_d[i : i + block] = np.asarray(d)[: m - i]
+        out_g[i : i + block] = np.asarray(g)[: m - i]
+    return out_d, out_g
+
+
+def _centers_point_cloud(means, scales, quats, opac, cfg: ShellConfig):
+    """Ablation point cloud: gaussian centers + density-gradient normals
+    (coarse_shell.py:637-772)."""
+    keep = np.asarray(opac) >= cfg.centers_min_opacity
+    pts = np.asarray(means)[keep]
+    _d, g = eval_density_blocks(
+        means, scales, quats, opac, pts, k=cfg.knn_k
+    )
+    n = -g / np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-9)
+    return pts, n
+
+
+def _marching_mesh(
+    means, scales, quats, opac, cameras, cfg: ShellConfig, verbose
+):
+    """Ablation mesh: marching tetrahedra over a regular density grid
+    spanning +/- the camera spatial extent around the mean camera center
+    (coarse_shell.py:773-907 uses 512^3 mcubes on the same bbox)."""
+    centers = np.stack([np.asarray(c.cam_center) for c in cameras])
+    avg = centers.mean(axis=0)
+    extent = 1.1 * float(np.linalg.norm(centers - avg[None], axis=1).max())
+    res = cfg.marching_resolution
+    lin = np.linspace(-1.0, 1.0, res, dtype=np.float32) * extent
+    gx, gy, gz = np.meshgrid(lin, lin, lin, indexing="ij")
+    pts = (
+        np.stack([gx, gy, gz], axis=-1).reshape(-1, 3) + avg[None]
+    ).astype(np.float32)
+    dens, _g = eval_density_blocks(means, scales, quats, opac, pts, cfg.knn_k)
+    grid = dens.reshape(res, res, res)
+    spacing = (2.0 * extent / (res - 1),) * 3
+    origin = tuple(avg - extent)
+    from frosting_tpu.extract import marching
+
+    verts, faces = marching.marching_tets(
+        grid, cfg.surface_level, origin=origin, spacing=spacing
+    )
+    if verbose:
+        print(
+            f"[shell/marching] res {res}: {len(verts)} verts "
+            f"{len(faces)} faces pre-decimation"
+        )
+    return verts, faces
+
+
 def auto_poisson_resolution(
     points: np.ndarray,
     max_resolution: int = 256,
@@ -272,6 +371,47 @@ def extract_shell(
     frosting stage."""
     from frosting_tpu.extract import meshclean
 
+    if cfg.method == "marching":
+        verts, faces = _marching_mesh(
+            means, scales, quats, opac, cameras, cfg, verbose
+        )
+        verts, faces = meshclean.decimate(verts, faces, cfg.target_vertices)
+        if cfg.visibility_threshold is not None:
+            verts, faces = meshclean.visibility_cull_components(
+                verts, faces, cameras, rcfg, cfg.visibility_threshold
+            )
+        else:
+            verts, faces = meshclean.largest_component(verts, faces)
+        if verbose:
+            print(
+                f"[shell] cleaned mesh: {len(verts)} verts "
+                f"{len(faces)} faces"
+            )
+        from frosting_tpu.ops import mesh as mesh_ops
+
+        vn = np.asarray(
+            mesh_ops.vertex_normals(
+                jnp.asarray(verts, jnp.float32), jnp.asarray(faces, jnp.int32)
+            )
+        )
+        aux = {
+            "surface_points": verts,
+            "surface_normals": vn,
+            "inner_points": verts,
+        }
+        return verts, faces, aux
+
+    if cfg.method == "centers":
+        pts, nrm = _centers_point_cloud(means, scales, quats, opac, cfg)
+        inner = pts
+        if verbose:
+            print(f"[shell] {len(pts)} gaussian centers as surface points")
+        return _mesh_from_point_cloud(
+            pts, nrm, inner, cameras, rcfg, cfg, verbose
+        )
+    if cfg.method != "surface":
+        raise ValueError(f"unknown extraction method {cfg.method!r}")
+
     all_pts, all_nrm, all_inner = [], [], []
     for i, cam in enumerate(cameras):
         o, nrm, inner, valid = level_points_from_camera(
@@ -292,6 +432,15 @@ def extract_shell(
     inner = np.concatenate(all_inner)
     if verbose:
         print(f"[shell] {len(pts)} surface points from {len(cameras)} cameras")
+    return _mesh_from_point_cloud(pts, nrm, inner, cameras, rcfg, cfg, verbose)
+
+
+def _mesh_from_point_cloud(
+    pts, nrm, inner, cameras, rcfg: RasterConfig, cfg: ShellConfig, verbose
+):
+    """Shared reconstruction tail: (oriented point cloud) -> fg/bg Poisson
+    -> quantile clean -> decimate -> projection -> visibility culling."""
+    from frosting_tpu.extract import meshclean
 
     if cfg.fg_split:
         # camera-centered fg/bg split (coarse_shell.py:382-405)

@@ -154,6 +154,8 @@ def cmd_extract_shell(args):
         target_vertices=200_000 if args.low_poly else 1_000_000,
         cleaning_quantile=args.cleaning_quantile,
         fg_split=args.fg_split,
+        method=args.method,
+        marching_resolution=args.marching_resolution,
     )
     verts, faces, _aux = extract_shell(
         means, scales, quats, opac, cams, rcfg, cfg, verbose=True
@@ -362,6 +364,13 @@ def build_parser():
     sp.add_argument("--cleaning-quantile", type=float, default=0.1)
     sp.add_argument("--low-poly", action="store_true")
     sp.add_argument("--fg-split", action="store_true")
+    # ablation extraction paths (reference flags use_centers_to_extract_mesh
+    # / use_marching_cubes, coarse_shell.py:145-146)
+    sp.add_argument(
+        "--method", default="surface",
+        choices=["surface", "centers", "marching"],
+    )
+    sp.add_argument("--marching-resolution", type=int, default=256)
     sp.set_defaults(fn=cmd_extract_shell)
 
     sp = sub.add_parser("train-frosting")

@@ -178,3 +178,56 @@ def test_fg_bg_split_extraction():
     # both the near sphere and some distant geometry must be in the mesh...
     r = np.linalg.norm(np.asarray(verts), axis=1)
     assert (r < 1.5).sum() > 100  # fg sphere present
+
+
+def _sphere_gaussians(n=3000, seed=3):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    means = jnp.asarray(d, jnp.float32)
+    scales = jnp.full((n, 3), 0.06, jnp.float32)
+    quats = jnp.concatenate([jnp.ones((n, 1)), jnp.zeros((n, 3))], axis=1)
+    opac = jnp.full((n,), 0.9, jnp.float32)
+    return means, scales, quats, opac
+
+
+def test_centers_extraction_ablation():
+    """method="centers": Poisson on the gaussian centers with
+    density-gradient normals (coarse_shell.py:637-772)."""
+    means, scales, quats, opac = _sphere_gaussians()
+    cams = synthetic.camera_ring(n_cams=4, radius=3.5)
+    rcfg = RasterConfig(
+        width=64, height=64, chunk=32, max_instances=16384, backend="jax"
+    )
+    verts, faces, aux = extract_shell(
+        means, scales, quats, opac, cams, rcfg,
+        ShellConfig(
+            method="centers", poisson_resolution=64, target_vertices=4000,
+            knn_k=8, cleaning_quantile=0.0,
+        ),
+    )
+    assert len(verts) > 300 and len(faces) > 300
+    r = np.linalg.norm(verts, axis=1)
+    assert 0.8 < np.median(r) < 1.25, np.median(r)
+    # the ablation's surface points are the centers themselves
+    assert len(aux["surface_points"]) == len(means)
+
+
+def test_marching_extraction_ablation():
+    """method="marching": marching-tets iso-surface of the density grid
+    (coarse_shell.py:773-907)."""
+    means, scales, quats, opac = _sphere_gaussians()
+    cams = synthetic.camera_ring(n_cams=4, radius=3.5)
+    rcfg = RasterConfig(
+        width=64, height=64, chunk=32, max_instances=16384, backend="jax"
+    )
+    verts, faces, _aux = extract_shell(
+        means, scales, quats, opac, cams, rcfg,
+        ShellConfig(
+            method="marching", marching_resolution=48,
+            target_vertices=4000, knn_k=8,
+        ),
+    )
+    assert len(verts) > 300 and len(faces) > 300
+    r = np.linalg.norm(verts, axis=1)
+    assert 0.75 < np.median(r) < 1.3, np.median(r)
