@@ -105,6 +105,47 @@ def main():
     for nm, dd in dur.most_common(34):
         print(f"{dd / iters:9.1f} us/it x{cnt[nm] // iters:3d}  {nm[:78]}")
 
+    # attribute the top fusions: dump the optimized HLO and print each hot
+    # fusion's computation body (op mix + shapes) so "fusion.195" becomes
+    # an actionable source location
+    hlo = bench_prog.lower(*gs, cam, target, 0.0).compile().as_text()
+    with open("/tmp/trace3/hlo.txt", "w") as f:
+        f.write(hlo)
+    print("\n=== hot fusion bodies (/tmp/trace3/hlo.txt has the full HLO) ===")
+    import re
+
+    for nm, dd in dur.most_common(16):
+        base = nm.split(".")[0]
+        if base not in ("fusion", "sort", "copy", "while"):
+            continue
+        # find the instruction to get its called computation name
+        m = re.search(
+            rf"^\s+\S+ = \S+ {re.escape(nm)}\(.*$", hlo, re.MULTILINE
+        )
+        if not m:
+            continue
+        line = m.group(0)
+        print(f"\n--- {nm} ({dd / iters:.1f} us/it) ---")
+        print(line.strip()[:240])
+        cm = re.search(r"calls=(\S+?)[,)]", line)
+        if cm:
+            body = re.search(
+                rf"^%?{re.escape(cm.group(1))}[^\n]*\{{(.*?)^\}}",
+                hlo,
+                re.MULTILINE | re.DOTALL,
+            )
+            if body:
+                ops = collections.Counter(
+                    re.findall(r"= \S+? (\S+)\(", body.group(1))
+                )
+                print("   op mix:", dict(ops.most_common(12)))
+                for big in re.findall(
+                    r"= (\S*(?:gather|scatter|sort|cumsum|reduce|iota|"
+                    r"dot|convolution)\S*)\([^\n]*",
+                    body.group(1),
+                )[:6]:
+                    print("   *", big[:200])
+
 
 if __name__ == "__main__":
     main()
