@@ -76,7 +76,12 @@ def main():
     # host timing lies in both directions. Instead the iteration loop runs
     # INSIDE one program (fori_loop), each step perturbing the opacities on
     # device so no two renders are identical; one dispatch, one sync.
-    iters = 10
+    # 30 iterations amortize the fixed dispatch+RTT to <1 ms/iter, and the
+    # timing repeats 3x with DISTINCT salts (no memoization) taking the
+    # minimum — the shared tunnel only ever ADDS noise, so min is the
+    # consistent estimator of the true step cost.
+    iters = 30
+    repeats = 3
 
     def loss_fn(means, scales, quats, opac, sh, camera, tgt):
         out = render(means, scales, quats, opac, sh, camera, cfg)
@@ -111,17 +116,21 @@ def main():
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
     r = float(bench_prog(*gs, cam, target, 0.0))  # compile + 1st run
-    t0 = time.time()
-    r = float(bench_prog(*gs, cam, target, 0.017))  # distinct inputs
-    dt = time.time() - t0
-    assert np.isfinite(r)
+    dt = float("inf")
+    for rep in range(repeats):
+        t0 = time.time()
+        r = float(bench_prog(*gs, cam, target, 0.017 + 0.003 * rep))
+        dt = min(dt, time.time() - t0)
+        assert np.isfinite(r)
     mpix_s = 512 * 512 * iters / dt / 1e6
 
     rf = float(bench_fwd(*gs, cam, 0.0))
-    t0 = time.time()
-    rf = float(bench_fwd(*gs, cam, 0.013))
-    dtf = time.time() - t0
-    assert np.isfinite(rf)
+    dtf = float("inf")
+    for rep in range(repeats):
+        t0 = time.time()
+        rf = float(bench_fwd(*gs, cam, 0.013 + 0.003 * rep))
+        dtf = min(dtf, time.time() - t0)
+        assert np.isfinite(rf)
     fwd_mpix_s = 512 * 512 * iters / dtf / 1e6
 
     extra = {

@@ -6,6 +6,10 @@
 #   bash scripts/tpu_queue.sh [logdir]
 set -u
 cd "$(dirname "$0")/.."
+# scripts/*.py import frosting_tpu from the repo root; `python scripts/foo.py`
+# puts scripts/ (not cwd) on sys.path, so the repo root must be added
+# explicitly — WITHOUT clobbering the axon plugin path already there.
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 LOG=${1:-/tmp/tpu_queue}
 mkdir -p "$LOG"
 
