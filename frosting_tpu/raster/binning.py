@@ -12,7 +12,7 @@ identification (rasterizer_impl.cu:70-138, 280-317). All shapes static:
     counts come from a vector-rate 2D difference histogram of the rects),
     with sort keys placing them at each tile's run end — so the sorted
     order IS the padded layout and no cap-sized destination scatter is
-    needed. Permutation inverses (inv_map, depth ranks) are computed by
+    needed. Permutation inverses (depth ranks) are computed by
     sorting (key, iota) pairs rather than scattering: on this TPU runtime
     a cap-sized scatter runs at scalar rate (~1.4 ms/M rows) while a
     2-operand sort of the same length costs ~0.4 ms.
@@ -54,8 +54,12 @@ class Binned(NamedTuple):
     # Backward-reduction helpers (replace jax.ops.segment_sum's scatter-add,
     # which costs more than the whole blend on TPU): in ORIGINAL expansion
     # order each gaussian's instances are contiguous, so the per-gaussian
-    # gradient sum is a gather + a sorted-segment reduction.
-    inv_map: jnp.ndarray  # [max_instances] padded row of orig instance i
+    # gradient sum is a permutation back to that order + a sorted-segment
+    # reduction. The permutation is applied by SORTING the gradient rows
+    # with orig_s as the key (payload-carrying sorts run ~3x faster than
+    # the equivalent cap-sized gather on this runtime).
+    orig_s: jnp.ndarray  # [padded_rows] pre-sort instance index of each
+    #                      padded row (>= max_instances for padding rows)
     gauss_orig: jnp.ndarray  # [max_instances] gaussian id of orig instance i
     #                          (= N sentinel for i >= num_instances)
     gauss_bounds: jnp.ndarray  # [N+1] orig-order segment bounds per gaussian
@@ -202,7 +206,7 @@ def _empty_binned(cfg: RasterConfig) -> Binned:
         work_pxy=pxy,
         tile_block0=tile_ids,
         tile_nchunks=jnp.ones((nt,), i32),
-        inv_map=jnp.zeros((cfg.max_instances,), i32),
+        orig_s=jnp.arange(cfg.padded_rows, dtype=i32),
         gauss_orig=jnp.zeros((cfg.max_instances,), i32),
         gauss_bounds=jnp.zeros((1,), i32),
         n_work=jnp.asarray(nt, i32),
@@ -243,20 +247,12 @@ def bin_gaussians(
     inst = jnp.arange(cap, dtype=i32)
     inst_valid = inst < total
 
-    def decode(vals):
-        """Per-instance step function vals[gauss[i]] without gathers:
-        telescoping diff-scatter at run starts, then cumsum. Bit-packing
-        multiple fields into one channel is exact because the decode is
-        linear: every PARTIAL SUM of the delta stream is an actual packed
-        value (individual diffs may borrow across bit boundaries)."""
-        delta = (
-            jnp.zeros((cap,), i32)
-            .at[0]
-            .add(vals[0])
-            .at[offs[1:]]
-            .add(jnp.diff(vals), mode="drop")
-        )
-        return jnp.cumsum(delta)
+    # Per-instance step functions vals[gauss[i]] are recovered WITHOUT
+    # gathers: telescoping diff-scatter at run starts, then cumsum.
+    # Bit-packing multiple fields into one channel is exact because the
+    # decode is linear: every PARTIAL SUM of the delta stream is an actual
+    # packed value (individual diffs may borrow across bit boundaries).
+    # See the batched decode below.
 
     # depth ORDER as integer ranks (exact; same ordering as float depths
     # with stable tie-break by gaussian index). The rank array is the
@@ -279,27 +275,46 @@ def bin_gaussians(
     base = ty0 * cfg.tiles_x + tx0
     gauss_ids = jnp.arange(n, dtype=i32)
 
-    # ONE scatter-decode recovers the per-instance gaussian id; every other
-    # per-instance field is then a GATHER from its per-gaussian table keyed
-    # by gauss_c. The decode scatter costs ~8.7 ns/update (scalar rate) so
-    # three of them dominated binning; gauss_c is monotone nondecreasing,
-    # so the gathers are sequential-locality reads at vector/memory rate.
-    gauss_c = decode(gauss_ids)
-    gidx = jnp.minimum(gauss_c, max(n - 1, 0))
-    if bits_cap + 9 <= 31:
-        ch_ow = jnp.take(offs * 512 + w, gidx, mode="clip")
-        i_off = ch_ow >> 9
-        i_w = jnp.maximum(ch_ow & 511, 1)
+    # EVERY per-instance channel is its own diff-scatter decode; the
+    # scatters share one batched [S, cap] cumsum along axis 1 (a 1-D
+    # cap-sized cumsum costs ~0.9 ms alone; the 2-D batched form amortizes
+    # across channels). Gathers keyed by the decoded gaussian id were
+    # measured at SCALAR rate (~7 ns/row — 2x the cost of a decode) even
+    # with monotone indices, so the gather formulation lost ~3.5 ms/step.
+    streams = [gauss_ids]
+    pack_ow = bits_cap + 9 <= 31
+    pack_br = bits_t + bits_n <= 31
+    streams.append(offs * 512 + w if pack_ow else offs)
+    if not pack_ow:
+        streams.append(w)
+    streams.append(base * (1 << bits_n) + depth_rank if pack_br else base)
+    if not pack_br:
+        streams.append(depth_rank)
+    sv = jnp.stack(streams)  # [S, n]
+    delta = (
+        jnp.zeros((len(streams), cap), i32)
+        .at[:, 0]
+        .add(sv[:, 0])
+        .at[:, offs[1:]]
+        .add(jnp.diff(sv, axis=1), mode="drop")
+    )
+    dec = jnp.cumsum(delta, axis=1)  # [S, cap]
+    gauss_c = dec[0]
+    s = 1
+    if pack_ow:
+        i_off = dec[s] >> 9
+        i_w = jnp.maximum(dec[s] & 511, 1)
+        s += 1
     else:
-        i_off = jnp.take(offs, gidx, mode="clip")
-        i_w = jnp.maximum(jnp.take(w, gidx, mode="clip"), 1)
-    if bits_t + bits_n <= 31:
-        ch_br = jnp.take(base * (1 << bits_n) + depth_rank, gidx, mode="clip")
-        i_base = ch_br >> bits_n
-        i_rnk = ch_br & ((1 << bits_n) - 1)
+        i_off = dec[s]
+        i_w = jnp.maximum(dec[s + 1], 1)
+        s += 2
+    if pack_br:
+        i_base = dec[s] >> bits_n
+        i_rnk = dec[s] & ((1 << bits_n) - 1)
     else:
-        i_base = jnp.take(base, gidx, mode="clip")
-        i_rnk = jnp.take(depth_rank, gidx, mode="clip")
+        i_base = dec[s]
+        i_rnk = dec[s + 1]
 
     i_rank = inst - i_off
     # small-int div via f32 (exact for values < 2^24)
@@ -356,7 +371,7 @@ def bin_gaussians(
     # layout (ties keep gaussian submission order like the CUDA stable
     # radix sort; pads have rank n so they close each tile's run).
     # `orig_s` carries the pre-sort instance index (pads get >= cap) so
-    # inv_map is its inverse permutation restricted to [0, cap). ---
+    # the backward can sort gradient rows back into original order. ---
     sentinel_i32 = jnp.full((pad_cap,), n, i32)
     tile_all = jnp.concatenate([tile_id, pad_tile])
     rank_all = jnp.concatenate([inst_rank, sentinel_i32])
@@ -367,9 +382,6 @@ def bin_gaussians(
     )
     padded_gauss = gauss_s  # [padded_rows]; sentinel rows carry n
 
-    # orig instance -> padded row: inverse of orig_s via sort (rows owned
-    # by pads land beyond cap and are sliced off)
-    inv_map = _invert_permutation(orig_s)[:cap]
 
     # --- flat chunk work-list ---
     chunk_cum = jnp.cumsum(n_chunks)  # inclusive
@@ -395,7 +407,7 @@ def bin_gaussians(
         work_pxy=((work_px0 << 16) | work_py0).astype(i32),
         tile_block0=(padded_off // k).astype(i32),
         tile_nchunks=n_chunks.astype(i32),
-        inv_map=inv_map,
+        orig_s=orig_s,
         gauss_orig=inst_gauss,
         gauss_bounds=jnp.concatenate(
             [jnp.zeros((1,), i32), jnp.minimum(cum, cap).astype(i32)]

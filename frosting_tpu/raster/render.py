@@ -72,11 +72,13 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
     # an XLA scatter that costs more than the entire blend on TPU (~17 ms
     # at 1M rows), and indices_are_sorted changes nothing. Instead map
     # instance gradients back to ORIGINAL expansion order (each gaussian's
-    # instances are contiguous there, binning.inv_map) and reduce the
-    # contiguous segments as prefix-sum differences. On the pallas backend
-    # everything stays in lane-compact (16, rows) layouts — a
-    # [rows, 16] array is 8x physically inflated by lane padding, so one
-    # relayout of the 1M-row buffer costs more than the math.
+    # instances are contiguous there) and reduce the contiguous segments as
+    # prefix-sum differences. The permutation is applied by SORTING the
+    # gradient rows keyed by binning.orig_s (pre-sort instance index): a
+    # 10-operand payload sort costs ~1.2 ms where the equivalent cap-sized
+    # gather ran at scalar rate (~3.7 ms). On the pallas backend everything
+    # stays in lane-compact (W, rows) layouts — a [rows, W] array is 8x
+    # physically inflated by lane padding.
     b = binned.gauss_bounds  # [N+1]
     if cfg_backend(cfg) == "pallas":
         from frosting_tpu.raster import blend_pallas
@@ -86,8 +88,14 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
         )  # [n_blocks, 9, K]
         u = INSTANCE_FIELDS_USED
         grads_t = grads3.swapaxes(0, 1).reshape(u, cfg.padded_rows)
-        grads_orig_t = jnp.take(
-            grads_t, binned.inv_map, axis=1, mode="clip"
+        sorted_ops = jax.lax.sort(
+            (binned.orig_s,) + tuple(grads_t[j] for j in range(u)),
+            num_keys=1,
+            is_stable=False,
+        )
+        cap = cfg.max_instances
+        grads_orig_t = jnp.stack(
+            [row[:cap] for row in sorted_ops[1:]]
         )  # [9, cap]
         prefix_t = jnp.concatenate(
             [
@@ -104,7 +112,16 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
         grads_inst = blend_jax.blend_backward_jax(
             padded, binned, out, g_out, cfg
         )
-        grads_orig = jnp.take(grads_inst, binned.inv_map, axis=0)
+        w = grads_inst.shape[1]
+        sorted_ops = jax.lax.sort(
+            (binned.orig_s,)
+            + tuple(grads_inst[:, j] for j in range(w)),
+            num_keys=1,
+            is_stable=False,
+        )
+        grads_orig = jnp.stack(
+            [row[: cfg.max_instances] for row in sorted_ops[1:]], axis=1
+        )  # [cap, W]
         prefix = jnp.concatenate(
             [
                 jnp.zeros((1, grads_orig.shape[1]), grads_orig.dtype),

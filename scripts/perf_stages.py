@@ -15,6 +15,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--tile", type=int, default=32)
+    ap.add_argument("--tile-h", type=int, default=0, help="0 = square tile")
+    ap.add_argument("--autotune", action="store_true",
+                    help="autotune max_instances like bench.py")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument(
         "--stages",
@@ -45,9 +48,26 @@ def main():
         jnp.asarray(a, jnp.float32) for a in (means, scales, quats, opac, sh)
     )
     cam = look_at_camera(eye=[0.0, 0.0, -3.0], target=[0.0, 0.0, 0.0])
+    tile_h = args.tile_h or args.tile
+    cap = 1 << 20
+    if args.autotune:
+        from frosting_tpu.raster.render import (
+            autotune_max_instances,
+            count_instances,
+        )
+
+        probe_cfg = RasterConfig(
+            width=512, height=512, tile_w=args.tile, tile_h=tile_h,
+            chunk=args.chunk, max_instances=1 << 21, backend="auto",
+        )
+        n_inst = int(
+            jax.jit(lambda g, c: count_instances(*g, c, probe_cfg))(gs, cam)
+        )
+        cap = autotune_max_instances(n_inst, args.chunk, safety=1.25)
+        print(json.dumps({"n_inst": n_inst, "cap": cap}), flush=True)
     cfg = RasterConfig(
-        width=512, height=512, tile_w=args.tile, tile_h=args.tile,
-        chunk=args.chunk, max_instances=1 << 20, backend="pallas",
+        width=512, height=512, tile_w=args.tile, tile_h=tile_h,
+        chunk=args.chunk, max_instances=cap, backend="pallas",
     )
     target = jnp.zeros((3, 512, 512), jnp.float32)
     iters = args.iters
@@ -68,13 +88,19 @@ def main():
                 b = bin_gaussians(p.rect, p.depths, p.valid, cfg)
                 return jnp.sum(b.tile_nchunks).astype(jnp.float32) * 1e-9
         elif name == "take":
+            # the REAL pallas-path gather (lane-compact transposed take +
+            # block-layout reshape, render._gather_padded)
+            from frosting_tpu.raster.render import _gather_padded
+
             def f(g, salt, i):
                 p = pre(g, salt, i)
                 b = bin_gaussians(p.rect, p.depths, p.valid, cfg)
                 fe = pack_fields(p)
-                padded = jnp.take(fe, b.padded_gauss, axis=0)
-                return jnp.sum(padded[:, 0]) * 1e-9
+                p3 = _gather_padded(fe, b, cfg)
+                return jnp.sum(p3[:, 0, 0]) * 1e-9
         elif name == "layout":
+            # flat-row gather + relayout (the jax-backend path; kept for
+            # comparison against `take`)
             def f(g, salt, i):
                 p = pre(g, salt, i)
                 b = bin_gaussians(p.rect, p.depths, p.valid, cfg)

@@ -72,16 +72,19 @@ def test_padded_layout_matches_brute_force():
         assert nch[t] >= 1
 
 
-def test_inv_map_roundtrip():
+def test_orig_s_roundtrip():
     rect, depths, valid = make_rects(200, CFG, seed=4)
     b = bin_gaussians(
         jnp.asarray(rect), jnp.asarray(depths), jnp.asarray(valid), CFG
     )
     padded_gauss = np.asarray(b.padded_gauss)
-    inv_map = np.asarray(b.inv_map)
+    orig_s = np.asarray(b.orig_s)
     bounds = np.asarray(b.gauss_bounds)
     total = int(b.num_instances)
     n = rect.shape[0]
+    # invert orig_s: inv[orig_s[row]] = row maps orig instance -> padded row
+    inv_map = np.full(len(orig_s), -1, np.int64)
+    inv_map[orig_s] = np.arange(len(orig_s))
     # orig instance i belongs to gaussian g with bounds[g] <= i < bounds[g+1];
     # its padded row must hold that gaussian
     for g in range(n):
@@ -90,6 +93,12 @@ def test_inv_map_roundtrip():
     # each real padded row is hit exactly once
     rows = inv_map[:total]
     assert len(set(rows.tolist())) == total
+    # non-real rows (synthesized pads and invalid instance slots) carry
+    # orig indices >= total, so a sort keyed on orig_s pushes them past
+    # every real instance — the backward's prefix-diff at gauss_bounds
+    # (all <= total) never reads them
+    pad_rows = np.setdiff1d(np.arange(len(orig_s)), rows)
+    assert (orig_s[pad_rows] >= total).all()
 
 
 def test_histogram_matches_expansion_counts():
