@@ -290,13 +290,20 @@ def bin_gaussians(
     streams.append(base * (1 << bits_n) + depth_rank if pack_br else base)
     if not pack_br:
         streams.append(depth_rank)
-    sv = jnp.stack(streams)  # [S, n]
-    delta = (
-        jnp.zeros((len(streams), cap), i32)
-        .at[:, 0]
-        .add(sv[:, 0])
-        .at[:, offs[1:]]
-        .add(jnp.diff(sv, axis=1), mode="drop")
+    # one 1-D scatter per channel (a batched [S, cap] scatter measured
+    # 14.6 ns/value vs 8.7 for separate 1-D scatters — TPU scatters cost
+    # per-value and the 2-D form adds index-arithmetic overhead), then ONE
+    # batched cumsum (a 1-D cap-sized cumsum costs ~0.9 ms alone; the 2-D
+    # form amortizes across channels).
+    delta = jnp.stack(
+        [
+            jnp.zeros((cap,), i32)
+            .at[0]
+            .add(v[0])
+            .at[offs[1:]]
+            .add(jnp.diff(v), mode="drop")
+            for v in streams
+        ]
     )
     dec = jnp.cumsum(delta, axis=1)  # [S, cap]
     gauss_c = dec[0]
