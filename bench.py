@@ -76,11 +76,12 @@ def main():
     # host timing lies in both directions. Instead the iteration loop runs
     # INSIDE one program (fori_loop), each step perturbing the opacities on
     # device so no two renders are identical; one dispatch, one sync.
-    # 30 iterations amortize the fixed dispatch+RTT to <1 ms/iter, and the
-    # timing repeats 3x with DISTINCT salts (no memoization) taking the
-    # minimum — the shared tunnel only ever ADDS noise, so min is the
-    # consistent estimator of the true step cost.
-    iters = 30
+    # The fixed dispatch+RTT cost was measured at ~32 ms PER DISPATCH
+    # (trivial-body probe, round 3): 100 iterations amortize it to
+    # ~0.3 ms/iter. Timing repeats 3x with DISTINCT salts (no memoization)
+    # taking the minimum — the shared tunnel only ever ADDS noise, so min
+    # is the consistent estimator of the true step cost.
+    iters = 100
     repeats = 3
 
     def loss_fn(means, scales, quats, opac, sh, camera, tgt):

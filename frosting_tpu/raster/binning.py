@@ -5,17 +5,19 @@ identification (rasterizer_impl.cu:70-138, 280-317). All shapes static:
 
   * instance expansion uses telescoping diff-scatter + cumsum run-length
     decodes (bit-packed channels) instead of per-thread scatter,
-  * the 64-bit [tile|depth] radix sort becomes one stable lexicographic
-    `lax.sort` on (tile_id, depth-rank),
+  * the 64-bit [tile|depth] radix sort becomes one stable `lax.sort` on
+    the tile id alone: the instance stream is emitted in depth-major
+    order (the per-gaussian table is pre-sorted by depth), so stability
+    supplies the per-tile depth order,
   * the per-tile ranges are laid out chunk-aligned IN THE SORT ITSELF:
     per-tile padding instances are synthesized BEFORE the sort (tile
     counts come from a vector-rate 2D difference histogram of the rects),
     with sort keys placing them at each tile's run end — so the sorted
     order IS the padded layout and no cap-sized destination scatter is
-    needed. Permutation inverses (depth ranks) are computed by
-    sorting (key, iota) pairs rather than scattering: on this TPU runtime
-    a cap-sized scatter runs at scalar rate (~1.4 ms/M rows) while a
-    2-operand sort of the same length costs ~0.4 ms.
+    needed. Permutations are applied/inverted by payload-carrying sorts
+    rather than gathers or scatters: on this TPU runtime cap-sized
+    scatters AND gathers run at scalar rate (~7-9 ns/row) while sorts run
+    at vector/memory rate (~0.2 ms per operand per million rows).
 
 Everything here is integer bookkeeping — no gradients flow through it.
 
@@ -58,11 +60,13 @@ class Binned(NamedTuple):
     # reduction. The permutation is applied by SORTING the gradient rows
     # with orig_s as the key (payload-carrying sorts run ~3x faster than
     # the equivalent cap-sized gather on this runtime).
-    orig_s: jnp.ndarray  # [padded_rows] pre-sort instance index of each
-    #                      padded row (>= max_instances for padding rows)
-    gauss_orig: jnp.ndarray  # [max_instances] gaussian id of orig instance i
-    #                          (= N sentinel for i >= num_instances)
-    gauss_bounds: jnp.ndarray  # [N+1] orig-order segment bounds per gaussian
+    orig_s: jnp.ndarray  # [padded_rows] pre-sort (depth-major expansion)
+    #                      instance index of each padded row (>=
+    #                      max_instances for padding rows)
+    gauss_sorted: jnp.ndarray  # [N] ORIGINAL gaussian id at each position
+    #                            of the depth-sorted gaussian table
+    gauss_bounds: jnp.ndarray  # [N+1] segment bounds per DEPTH-SORTED
+    #                            gaussian in the depth-major expansion
     n_work: jnp.ndarray  # [] number of real work items
     num_instances: jnp.ndarray  # [] pre-clamp instance count
     overflow: jnp.ndarray  # [] bool, true if max_instances exceeded
@@ -87,16 +91,6 @@ class Binned(NamedTuple):
     @staticmethod
     def pxy_py0(pxy):
         return pxy & 0xFFFF
-
-
-def _invert_permutation(perm: jnp.ndarray) -> jnp.ndarray:
-    """inv[perm[i]] = i via a 2-operand sort (a scatter would run at
-    scalar rate on this runtime; the sort is vector/memory rate)."""
-    n = perm.shape[0]
-    _, inv = jax.lax.sort(
-        (perm, jnp.arange(n, dtype=perm.dtype)), num_keys=1, is_stable=False
-    )
-    return inv
 
 
 def _tile_counts_2d(rect, valid, cfg: RasterConfig) -> jnp.ndarray:
@@ -159,19 +153,33 @@ def _tile_counts_2d(rect, valid, cfg: RasterConfig) -> jnp.ndarray:
             preferred_element_type=jnp.float32,
         ), None
 
-    # inherit the device-varying type of the data (no-op numerically) so
-    # the scan carry is consistent under shard_map's varying-manual-axes
-    # check (same pattern as blend_jax)
-    taint = jnp.where(jnp.bool_(False), sign[0], jnp.float32(0))
-    marks, _ = jax.lax.scan(
-        block_hist,
-        jnp.zeros((hi_sz, lo_sz), jnp.float32) + taint,
-        (
-            cidx_hi.reshape(-1, blk),
-            cidx_lo.reshape(-1, blk),
-            sign_p.reshape(-1, blk),
-        ),
+    # Unroll the block loop when it is short (the common case: <= 8
+    # blocks): a lax.scan of 4 blocks paid ~1 ms of while-loop overhead
+    # per step, half the histogram's cost. Scenes large enough to exceed
+    # the unroll cap fall back to a scan whose overhead is amortized by
+    # the real per-block work.
+    n_blocks = (m + pad) // blk
+    xs = (
+        cidx_hi.reshape(-1, blk),
+        cidx_lo.reshape(-1, blk),
+        sign_p.reshape(-1, blk),
     )
+    if n_blocks <= 8:
+        marks = jnp.zeros((hi_sz, lo_sz), jnp.float32)
+        for bi in range(n_blocks):
+            marks, _ = block_hist(
+                marks, (xs[0][bi], xs[1][bi], xs[2][bi])
+            )
+    else:
+        # inherit the device-varying type of the data (no-op numerically)
+        # so the scan carry is consistent under shard_map's
+        # varying-manual-axes check (same pattern as blend_jax)
+        taint = jnp.where(jnp.bool_(False), sign[0], jnp.float32(0))
+        marks, _ = jax.lax.scan(
+            block_hist,
+            jnp.zeros((hi_sz, lo_sz), jnp.float32) + taint,
+            xs,
+        )
     marks = marks.reshape(-1)[:g_total]
     grid = jnp.round(marks).astype(i32).reshape(gy, gx)
     grid = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)
@@ -207,7 +215,7 @@ def _empty_binned(cfg: RasterConfig) -> Binned:
         tile_block0=tile_ids,
         tile_nchunks=jnp.ones((nt,), i32),
         orig_s=jnp.arange(cfg.padded_rows, dtype=i32),
-        gauss_orig=jnp.zeros((cfg.max_instances,), i32),
+        gauss_sorted=jnp.zeros((0,), i32),
         gauss_bounds=jnp.zeros((1,), i32),
         n_work=jnp.asarray(nt, i32),
         num_instances=jnp.zeros((), i32),
@@ -233,35 +241,37 @@ def bin_gaussians(
     tx0, ty0, tx1, ty1 = rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3]
     w = tx1 - tx0
     counts = jnp.where(valid, w * (ty1 - ty0), 0).astype(i32)
+    base = ty0 * cfg.tiles_x + tx0
+    gauss_ids = jnp.arange(n, dtype=i32)
+
+    # --- depth-major gaussian table: ONE stable payload sort (invalid
+    # gaussians key to +inf and sort last with zero counts). Because the
+    # instance stream below is emitted in THIS order, per-tile depth order
+    # comes from the main sort's STABILITY alone: the per-instance
+    # depth-rank decode channel and the main sort's second key both
+    # disappear (the previous design argsorted depths, inverted the
+    # permutation with a second sort, and decoded a rank per instance).
+    dkey = jnp.where(valid, depths, jnp.inf)
+    _dk, gauss_sorted, w_s, counts_s, base_s = jax.lax.sort(
+        (dkey, gauss_ids, w.astype(i32), counts, base.astype(i32)),
+        num_keys=1,
+        is_stable=True,
+    )
 
     # --- instance expansion (duplicateWithKeys, rasterizer_impl.cu:70-96) ---
     # Run-length decode via scatter + cumsum instead of per-instance
     # searchsorted/gather: XLA-TPU random gathers run at scalar rate, so the
     # naive decode (17M+ gathered elements for 1M instances) costs ~180 ms;
     # this formulation is a handful of 100k-element scatters plus cap-sized
-    # cumsums (~ms) and is EXACT (integer arithmetic only).
-    cum = jnp.cumsum(counts)  # inclusive
-    offs = cum - counts  # exclusive
+    # cumsums (~ms) and is EXACT (integer arithmetic only). When the
+    # instance count exceeds the capacity the FARTHEST instances are the
+    # ones truncated (depth-major stream) and the overflow flag is set.
+    cum = jnp.cumsum(counts_s)  # inclusive
+    offs = cum - counts_s  # exclusive
     total = cum[-1] if n > 0 else jnp.zeros((), i32)
     overflow = total > cap
     inst = jnp.arange(cap, dtype=i32)
     inst_valid = inst < total
-
-    # Per-instance step functions vals[gauss[i]] are recovered WITHOUT
-    # gathers: telescoping diff-scatter at run starts, then cumsum.
-    # Bit-packing multiple fields into one channel is exact because the
-    # decode is linear: every PARTIAL SUM of the delta stream is an actual
-    # packed value (individual diffs may borrow across bit boundaries).
-    # See the batched decode below.
-
-    # depth ORDER as integer ranks (exact; same ordering as float depths
-    # with stable tie-break by gaussian index). The rank array is the
-    # inverse permutation of the argsort — computed by a second small sort
-    # (see _invert_permutation).
-    depth_order = jnp.argsort(
-        jnp.where(valid, depths, jnp.inf), stable=True
-    ).astype(i32)
-    depth_rank = _invert_permutation(depth_order)
 
     # --- packed decode channels. Static bit budgets decide the packing;
     # every field is nonnegative and bounded, so packed channels stay
@@ -272,29 +282,28 @@ def bin_gaussians(
     bits_cap = max(int(cap).bit_length(), 1)
     bits_n = max(int(n).bit_length(), 1)
     bits_t = max(int(cfg.n_tiles).bit_length(), 1)
-    base = ty0 * cfg.tiles_x + tx0
-    gauss_ids = jnp.arange(n, dtype=i32)
 
-    # EVERY per-instance channel is its own diff-scatter decode; the
-    # scatters share one batched [S, cap] cumsum along axis 1 (a 1-D
-    # cap-sized cumsum costs ~0.9 ms alone; the 2-D batched form amortizes
-    # across channels). Gathers keyed by the decoded gaussian id were
-    # measured at SCALAR rate (~7 ns/row — 2x the cost of a decode) even
-    # with monotone indices, so the gather formulation lost ~3.5 ms/step.
-    streams = [gauss_ids]
-    pack_ow = bits_cap + 9 <= 31
-    pack_br = bits_t + bits_n <= 31
-    streams.append(offs * 512 + w if pack_ow else offs)
-    if not pack_ow:
-        streams.append(w)
-    streams.append(base * (1 << bits_n) + depth_rank if pack_br else base)
-    if not pack_br:
-        streams.append(depth_rank)
+    # EVERY per-instance channel is its own diff-scatter run-length decode
+    # (telescoping diffs at run starts; bit-packing multiple fields into
+    # one channel is exact because the decode is linear: every PARTIAL SUM
+    # of the delta stream is an actual packed value). The scatters share
+    # one batched [S, cap] cumsum along axis 1 (a 1-D cap-sized cumsum
+    # costs ~0.9 ms alone; the 2-D batched form amortizes across
+    # channels). Gathers keyed by a decoded gaussian id were measured at
+    # SCALAR rate (~7 ns/row — 2x the cost of a decode) even with monotone
+    # indices, so the gather formulation lost ~3.5 ms/step.
+    streams = []
+    pack_gw = bits_n + 9 <= 31  # gauss_orig | w
+    pack_ob = bits_cap + bits_t <= 31  # offs | base
+    streams.append(gauss_sorted * 512 + w_s if pack_gw else gauss_sorted)
+    if not pack_gw:
+        streams.append(w_s)
+    streams.append(offs * (1 << bits_t) + base_s if pack_ob else offs)
+    if not pack_ob:
+        streams.append(base_s)
     # one 1-D scatter per channel (a batched [S, cap] scatter measured
     # 14.6 ns/value vs 8.7 for separate 1-D scatters — TPU scatters cost
-    # per-value and the 2-D form adds index-arithmetic overhead), then ONE
-    # batched cumsum (a 1-D cap-sized cumsum costs ~0.9 ms alone; the 2-D
-    # form amortizes across channels).
+    # per-value and the 2-D form adds index-arithmetic overhead).
     delta = jnp.stack(
         [
             jnp.zeros((cap,), i32)
@@ -306,22 +315,21 @@ def bin_gaussians(
         ]
     )
     dec = jnp.cumsum(delta, axis=1)  # [S, cap]
-    gauss_c = dec[0]
-    s = 1
-    if pack_ow:
-        i_off = dec[s] >> 9
+    s = 0
+    if pack_gw:
+        gauss_c = dec[s] >> 9
         i_w = jnp.maximum(dec[s] & 511, 1)
         s += 1
     else:
-        i_off = dec[s]
+        gauss_c = dec[s]
         i_w = jnp.maximum(dec[s + 1], 1)
         s += 2
-    if pack_br:
-        i_base = dec[s] >> bits_n
-        i_rnk = dec[s] & ((1 << bits_n) - 1)
+    if pack_ob:
+        i_off = dec[s] >> bits_t
+        i_base = dec[s] & ((1 << bits_t) - 1)
     else:
-        i_base = dec[s]
-        i_rnk = dec[s + 1]
+        i_off = dec[s]
+        i_base = dec[s + 1]
 
     i_rank = inst - i_off
     # small-int div via f32 (exact for values < 2^24)
@@ -332,7 +340,6 @@ def bin_gaussians(
     tile_id = jnp.where(
         inst_valid, i_base + ry.astype(i32) * cfg.tiles_x + rx, cfg.n_tiles
     ).astype(i32)
-    inst_rank = jnp.where(inst_valid, i_rnk, n).astype(i32)
     inst_gauss = jnp.where(inst_valid, gauss_c, n).astype(i32)
 
     # --- per-tile padded layout, computed BEFORE the sort from the
@@ -373,19 +380,21 @@ def bin_gaussians(
         pad_iota < pad_total, jax.lax.cummax(pad_stream), cfg.n_tiles
     ).astype(i32)
 
-    # --- ONE stable lexicographic sort on (tile, depth-rank) over
-    # real + pad instances: the output order IS the chunk-aligned padded
-    # layout (ties keep gaussian submission order like the CUDA stable
-    # radix sort; pads have rank n so they close each tile's run).
-    # `orig_s` carries the pre-sort instance index (pads get >= cap) so
-    # the backward can sort gradient rows back into original order. ---
+    # --- ONE stable sort on the tile key alone over real + pad
+    # instances: the output order IS the chunk-aligned padded layout. The
+    # instance stream is depth-major, so STABILITY gives per-tile
+    # front-to-back depth order (ties keep depth-sort order, which keeps
+    # gaussian submission order — same total order as the CUDA stable
+    # radix sort on [tile|depth]); pads are concatenated after the real
+    # stream so they close each tile's run. `orig_s` carries the pre-sort
+    # instance index (pads get >= cap) so the backward can sort gradient
+    # rows back into depth-major expansion order. ---
     sentinel_i32 = jnp.full((pad_cap,), n, i32)
     tile_all = jnp.concatenate([tile_id, pad_tile])
-    rank_all = jnp.concatenate([inst_rank, sentinel_i32])
     gauss_all = jnp.concatenate([inst_gauss, sentinel_i32])
     orig_all = jnp.arange(cfg.padded_rows, dtype=i32)
-    _tile_s, _rank_s, gauss_s, orig_s = jax.lax.sort(
-        (tile_all, rank_all, gauss_all, orig_all), num_keys=2, is_stable=True
+    _tile_s, gauss_s, orig_s = jax.lax.sort(
+        (tile_all, gauss_all, orig_all), num_keys=1, is_stable=True
     )
     padded_gauss = gauss_s  # [padded_rows]; sentinel rows carry n
 
@@ -415,7 +424,7 @@ def bin_gaussians(
         tile_block0=(padded_off // k).astype(i32),
         tile_nchunks=n_chunks.astype(i32),
         orig_s=orig_s,
-        gauss_orig=inst_gauss,
+        gauss_sorted=gauss_sorted,
         gauss_bounds=jnp.concatenate(
             [jnp.zeros((1,), i32), jnp.minimum(cum, cap).astype(i32)]
         ),

@@ -83,12 +83,13 @@ def _forward_kernel(
     # measured ~2.5 ms floor. Each tile's chunk walk below is unchanged;
     # all DMA copies of a tile are drained before the next tile reuses the
     # scratch slots.
-    for j in range(cfg.tpp):
-        _forward_one_tile(
-            pl.program_id(0) * cfg.tpp + j,
-            j, s_block0, s_nchunk, inst_hbm, out_ref, buf_ref, sem_ref,
-            cfg=cfg,
-        )
+    with chunk_math.kernel_mode():
+        for j in range(cfg.tpp):
+            _forward_one_tile(
+                pl.program_id(0) * cfg.tpp + j,
+                j, s_block0, s_nchunk, inst_hbm, out_ref, buf_ref, sem_ref,
+                cfg=cfg,
+            )
 
 
 def _forward_one_tile(
@@ -240,12 +241,13 @@ def _backward_kernel(
     # tpp consecutive tiles per program (see _forward_kernel); each tile's
     # in- and out-DMAs are fully drained before the next tile reuses the
     # scratch slots.
-    for j in range(cfg.tpp):
-        _backward_one_tile(
-            pl.program_id(0) * cfg.tpp + j,
-            j, s_block0, s_nchunk, inst_hbm, fwd_ref, g_ref, grad_hbm,
-            buf_ref, gbuf_ref, isem_ref, osem_ref, cfg=cfg,
-        )
+    with chunk_math.kernel_mode():
+        for j in range(cfg.tpp):
+            _backward_one_tile(
+                pl.program_id(0) * cfg.tpp + j,
+                j, s_block0, s_nchunk, inst_hbm, fwd_ref, g_ref, grad_hbm,
+                buf_ref, gbuf_ref, isem_ref, osem_ref, cfg=cfg,
+            )
 
 
 def _backward_one_tile(

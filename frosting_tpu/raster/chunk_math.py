@@ -31,6 +31,7 @@ its atomics with per-instance gradient rows reduced outside.
 
 from __future__ import annotations
 
+import contextlib
 from typing import NamedTuple
 
 import jax
@@ -43,9 +44,37 @@ from frosting_tpu.raster.config import (
     TRANSMITTANCE_EPS,
 )
 
+# Inside Mosaic kernels, lane shifts lower ~13% faster as pltpu.roll +
+# constant-mask select than as concatenate (measured at the (512, 128)
+# chunk shape, scripts/perf_scan_variants.py). pltpu.roll only exists in
+# kernel context, so the Pallas kernels opt in via kernel_mode(); the
+# pure-JAX twin keeps the concatenate form (results agree within the
+# blend parity tolerances — the shift itself is bitwise identical, only
+# tree_prod's pairing order differs).
+_KERNEL_MODE = False
+
+
+@contextlib.contextmanager
+def kernel_mode():
+    """Trace-time switch to Mosaic-native lane-shift lowerings."""
+    global _KERNEL_MODE
+    prev = _KERNEL_MODE
+    _KERNEL_MODE = True
+    try:
+        yield
+    finally:
+        _KERNEL_MODE = prev
+
 
 def _shift_right(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
     """Shift columns right by s along axis 1 (lanes), filling with `fill`."""
+    if _KERNEL_MODE:
+        from jax.experimental.pallas import tpu as pltpu
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1]), 1)
+        return jnp.where(
+            lane < s, jnp.asarray(fill, x.dtype), pltpu.roll(x, s, 1)
+        )
     return jnp.concatenate(
         [jnp.full(x.shape[:1] + (s,), fill, x.dtype), x[:, :-s]], axis=1
     )
@@ -73,6 +102,15 @@ def tree_prod(x: jnp.ndarray) -> jnp.ndarray:
     """Product along axis 1 -> (P, 1) via halving tree (Mosaic has no
     reduce_prod lowering)."""
     k = x.shape[1]
+    if _KERNEL_MODE and (k & (k - 1)) == 0:
+        from jax.experimental.pallas import tpu as pltpu
+
+        s = 1
+        y = x
+        while s < k:
+            y = y * pltpu.roll(y, s, 1)
+            s *= 2
+        return y[:, :1]
     while k > 1:
         half = k // 2
         x = x[:, :half] * x[:, half : 2 * half] if 2 * half == k else (
@@ -124,6 +162,7 @@ class ChunkCommon(NamedTuple):
     m: jnp.ndarray  # (P, K) contribution mask (bool)
     w: jnp.ndarray  # (P, K) blend weights
     power: jnp.ndarray  # (P, K)
+    incl: jnp.ndarray  # (P, K) inclusive cumprod of one_minus
 
 
 def _chunk_common(fields, t_all, px, py) -> ChunkCommon:
@@ -154,7 +193,7 @@ def _chunk_common(fields, t_all, px, py) -> ChunkCommon:
     m = t_before * one_minus >= TRANSMITTANCE_EPS
     w = jnp.where(m, alpha * t_before, 0.0)
     return ChunkCommon(
-        alpha, raw, one_minus, t_before, t_after_all, m, w, power
+        alpha, raw, one_minus, t_before, t_after_all, m, w, power, incl
     )
 
 
@@ -163,11 +202,23 @@ def forward_chunk(fields, t_all, t_mask, color, px, py):
 
     Args: fields (W, K); t_all, t_mask (P, 1); color (P, 3); px, py (P, 1).
     Returns updated (t_all, t_mask, color).
+
+    t_mask (the reference's final_T) is tracked as a running MIN of the
+    masked test value v = t_all * incl rather than a product of masked
+    one_minus factors: v is the transmittance AFTER each contributing
+    gaussian and is non-increasing along the walk (v_{k+1} = v_k *
+    one_minus_{k+1}), and the stop is a prefix property, so the min of
+    contributing v's IS the last one — the final masked transmittance.
+    A native lane min-reduction costs ~3 VPU ops where the halving
+    tree_prod cost ~14 (Mosaic has no reduce_prod lowering).
     """
     c = _chunk_common(fields, t_all, px, py)
     cols = fields[6:9, :]  # (3, K)
     color = color + dot_pk(c.w, cols)
-    t_mask = t_mask * tree_prod(jnp.where(c.m, c.one_minus, 1.0))
+    v = t_all * c.incl  # (P, K)
+    t_mask = jnp.minimum(
+        t_mask, jnp.min(jnp.where(c.m, v, 1.0), axis=1, keepdims=True)
+    )
     return c.t_after_all, t_mask, color
 
 

@@ -107,7 +107,15 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
         # ONE boundary gather at all N+1 bounds then diff (two separate
         # b[1:] / b[:-1] gathers each pay the scalar-rate gather cost)
         pb = jnp.take(prefix_t, b, axis=1, mode="clip")  # [9, N+1]
-        rows = (pb[:, 1:] - pb[:, :-1]).T  # [N, 9]
+        rows_s = pb[:, 1:] - pb[:, :-1]  # [9, N], DEPTH-SORTED gaussians
+        # un-permute to original gaussian order — again a payload sort
+        # (keyed on the original id each sorted position carries)
+        unperm = jax.lax.sort(
+            (binned.gauss_sorted,) + tuple(rows_s[j] for j in range(u)),
+            num_keys=1,
+            is_stable=False,
+        )
+        rows = jnp.stack(unperm[1:], axis=1)  # [N, 9]
     else:
         grads_inst = blend_jax.blend_backward_jax(
             padded, binned, out, g_out, cfg
@@ -129,7 +137,14 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
             ]
         )
         pb = jnp.take(prefix, b, axis=0)  # [N+1, W]
-        rows = pb[1:] - pb[:-1]  # [N, W]
+        rows_s = pb[1:] - pb[:-1]  # [N, W], DEPTH-SORTED gaussians
+        unperm = jax.lax.sort(
+            (binned.gauss_sorted,)
+            + tuple(rows_s[:, j] for j in range(rows_s.shape[1])),
+            num_keys=1,
+            is_stable=False,
+        )
+        rows = jnp.stack(unperm[1:], axis=1)  # [N, W]
     # sentinel row (the zero row appended by pack_fields) gets zero grads
     return jnp.concatenate(
         [rows, jnp.zeros((n_ext - rows.shape[0], rows.shape[1]))]

@@ -17,6 +17,7 @@ def main():
     ap.add_argument("--noop", action="store_true")
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--tile", type=int, default=32)
+    ap.add_argument("--tile-h", type=int, default=0)
     ap.add_argument("--mode", choices=["fwd", "bwd"], default="fwd")
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
@@ -34,11 +35,11 @@ def main():
         # same signatures, trivial math: isolates loop + DMA + transpose
         def forward_chunk(fields, t_all, t_mask, color, px, py):
             s = jnp.sum(fields[:, 0:1] * 1e-9) * 0 + 0.9999
-            return t_all * s, t_mask * s, color + fields[0:3, 0:1] * 1e-9
+            return t_all * s, t_mask * s, color + (px * fields[0:1, 0:1]) * 1e-9
 
         def backward_chunk(fields, g_color, g_tmask, gc_total, t_final,
-                           t_all, gc_pre, px, py):
-            g = jnp.zeros_like(fields) + g_color[0:1, 0:1] * 1e-9
+                           t_all, gc_pre, px, py, basis_t, cx, cy):
+            g = fields * 1e-9 + jnp.sum(g_color) * 1e-12
             return g, t_all * 0.9999, gc_pre
 
         chunk_math.forward_chunk = forward_chunk
@@ -60,7 +61,8 @@ def main():
     )
     cam = look_at_camera(eye=[0.0, 0.0, -3.0], target=[0.0, 0.0, 0.0])
     cfg = RasterConfig(
-        width=512, height=512, tile_w=args.tile, tile_h=args.tile,
+        width=512, height=512, tile_w=args.tile,
+        tile_h=args.tile_h or args.tile,
         chunk=args.chunk, max_instances=1 << 20, backend="pallas",
     )
 

@@ -86,32 +86,11 @@ def main():
                 g, b.padded_gauss, num_segments=fe.shape[0]
             )
             return jnp.sum(s[:, 0]) * 1e-9
-    elif name == "segsum_sorted":
-        def f(fe, b, i):
-            g = gathered * (1 + i * 1e-12)
-            go = jnp.take(g, b.inv_map, axis=0)
-            s = jax.ops.segment_sum(
-                go, b.gauss_orig, num_segments=fe.shape[0],
-                indices_are_sorted=True,
-            )
-            return jnp.sum(s[:, 0]) * 1e-9
-    elif name == "cumsum_diff":
-        def f(fe, b, i):
-            g = gathered * (1 + i * 1e-12)
-            go = jnp.take(g, b.inv_map, axis=0)
-            pref = jnp.concatenate(
-                [jnp.zeros((1, go.shape[1])), jnp.cumsum(go, axis=0)]
-            )
-            # boundaries from gauss_orig: first occurrence index per segment
-            n_seg = fe.shape[0]
-            starts = jnp.searchsorted(
-                b.gauss_orig, jnp.arange(n_seg)
-            )
-            ends = jnp.searchsorted(
-                b.gauss_orig, jnp.arange(n_seg), side="right"
-            )
-            s = pref[ends] - pref[starts]
-            return jnp.sum(s[:, 0]) * 1e-9
+    elif name in ("segsum_sorted", "cumsum_diff"):
+        # Historical round-2 variants built on Binned.inv_map/gauss_orig,
+        # which were removed when the backward reduction moved to the
+        # orig_s payload sort (round 3). Findings recorded in PERF_NOTES.
+        raise SystemExit(f"probe variant '{name}' removed with inv_map")
     elif name == "take_planar":
         def f(fe, b, i):
             fet = (fe * (1 + i * 1e-12)).T  # (16, N+1)

@@ -85,11 +85,14 @@ def test_orig_s_roundtrip():
     # invert orig_s: inv[orig_s[row]] = row maps orig instance -> padded row
     inv_map = np.full(len(orig_s), -1, np.int64)
     inv_map[orig_s] = np.arange(len(orig_s))
-    # orig instance i belongs to gaussian g with bounds[g] <= i < bounds[g+1];
-    # its padded row must hold that gaussian
-    for g in range(n):
-        for i in range(bounds[g], bounds[g + 1]):
-            assert padded_gauss[inv_map[i]] == g
+    # expansion instance i belongs to DEPTH-SORTED gaussian j with
+    # bounds[j] <= i < bounds[j+1]; its padded row must hold that
+    # gaussian's ORIGINAL id (gauss_sorted[j])
+    gauss_sorted = np.asarray(b.gauss_sorted)
+    assert sorted(gauss_sorted.tolist()) == list(range(n))
+    for j in range(n):
+        for i in range(bounds[j], bounds[j + 1]):
+            assert padded_gauss[inv_map[i]] == gauss_sorted[j]
     # each real padded row is hit exactly once
     rows = inv_map[:total]
     assert len(set(rows.tolist())) == total
