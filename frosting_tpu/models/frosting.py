@@ -454,37 +454,6 @@ def init_frosting(
     return params, FrostingMeta(faces=faces_j, cell_idx=cell_idx)
 
 
-def activate_frosting_subset(
-    p: FrostingParams,
-    meta: FrostingMeta,
-    idx: jnp.ndarray,  # [C] int32 indices of visible frosting Gaussians
-    valid: jnp.ndarray,  # [C] float32 1=real, 0=padding slot
-) -> Tuple[jnp.ndarray, ...]:
-    """Activated arrays for a compacted visible subset (+ all background
-    Gaussians). This is the compute-saving occlusion-culling path: the
-    reference indexes the rendered set down to visible Gaussians
-    (refine.py:487-492) so preprocess/binning/blend all run on ~the visible
-    subset — an opacity mask over the full set saves nothing."""
-    from frosting_tpu.ops import quat as quat_ops
-    from frosting_tpu.scene.gaussians import activate as activate_gs
-
-    corners = cell_corners(p, meta.faces)[meta.cell_idx[idx]]  # [C, 6, 3]
-    w = jax.nn.softmax(p.bary_logits[idx], axis=-1)
-    means = jnp.sum(w[..., None] * corners, axis=1)
-    scales = jnp.exp(p.scales_log[idx])
-    quats = quat_ops.normalize(p.quats_raw[idx])
-    opac = jax.nn.sigmoid(p.opacities_raw[idx]) * valid
-    sh = jnp.concatenate([p.sh_dc[idx], p.sh_rest[idx]], axis=1)
-    if p.bg is not None:
-        bm, bs, bq, bo, bsh = activate_gs(p.bg)
-        means = jnp.concatenate([means, bm])
-        scales = jnp.concatenate([scales, bs])
-        quats = jnp.concatenate([quats, bq])
-        opac = jnp.concatenate([opac, bo])
-        sh = jnp.concatenate([sh, bsh])
-    return means, scales, quats, opac, sh
-
-
 def to_gaussians(p: FrostingParams, meta: FrostingMeta):
     """Convert to plain activated Gaussian arrays (PLY export path,
     convert_frosting_into_gaussians, frosting_model.py:2211-2285)."""

@@ -231,9 +231,11 @@ def shift_projected(
 
 
 def pack_fields(proj: Projected) -> jnp.ndarray:
-    """Pack differentiable per-Gaussian fields into [N+1, INSTANCE_WIDTH]
-    float32 rows; the trailing row is the zero sentinel that padded instance
-    slots gather (opacity 0 => no contribution)."""
+    """Pack differentiable per-Gaussian fields into [INSTANCE_WIDTH, N+1]
+    float32 (gaussians on LANES — the [N+1, W] row layout would be 14x
+    physically inflated by lane padding of the width-9 minor dim); the
+    trailing column is the zero sentinel that padded instance slots gather
+    (opacity 0 => no contribution)."""
     n = proj.means2d.shape[0]
     zeros = jnp.zeros((n,), jnp.float32)
     opac = jnp.where(proj.valid, proj.opacities, 0.0)
@@ -249,5 +251,7 @@ def pack_fields(proj: Projected) -> jnp.ndarray:
         proj.colors[:, 2],
     ]
     cols += [zeros] * (INSTANCE_WIDTH - len(cols))
-    fields = jnp.stack(cols, axis=-1)
-    return jnp.concatenate([fields, jnp.zeros((1, INSTANCE_WIDTH), jnp.float32)])
+    fields_t = jnp.stack(cols, axis=0)  # [W, N]
+    return jnp.concatenate(
+        [fields_t, jnp.zeros((INSTANCE_WIDTH, 1), jnp.float32)], axis=1
+    )

@@ -43,20 +43,18 @@ def _float0_like(x):
 def _gather_padded(fields_ext, binned: Binned, cfg: RasterConfig):
     """Instance gather, done ONCE per step (the [padded_rows]-row gather is
     as expensive as the whole blend kernel; forward and backward share it
-    via the custom-VJP residuals). Pallas gathers in the lane-compact
-    (16, rows) layout — a [rows, 16] intermediate would be 8x physically
-    inflated — then reshapes into the DMA-aligned block layout; the JAX
-    twin uses the flat row layout."""
+    via the custom-VJP residuals). fields_ext arrives lane-compact
+    [W, N+1] (pack_fields); Pallas gathers along lanes then reshapes into
+    the DMA-aligned block layout; the JAX twin uses the flat row layout."""
     if cfg_backend(cfg) == "pallas":
-        w = fields_ext.shape[1]
-        fields_t = fields_ext.T  # [9, N+1], small enough to stay in VMEM
+        w = fields_ext.shape[0]
         # mode="clip": indices are in-bounds by construction (sentinel row
         # N); the default fill mode adds a full-size select pass
         padded_t = jnp.take(
-            fields_t, binned.padded_gauss, axis=1, mode="clip"
+            fields_ext, binned.padded_gauss, axis=1, mode="clip"
         )
         return padded_t.reshape(w, cfg.n_blocks, cfg.chunk).swapaxes(0, 1)
-    return jnp.take(fields_ext, binned.padded_gauss, axis=0, mode="clip")
+    return jnp.take(fields_ext.T, binned.padded_gauss, axis=0, mode="clip")
 
 
 def _blend_impl(padded, binned: Binned, cfg: RasterConfig):
@@ -115,7 +113,7 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
             num_keys=1,
             is_stable=False,
         )
-        rows = jnp.stack(unperm[1:], axis=1)  # [N, 9]
+        rows_t = jnp.stack(unperm[1:], axis=0)  # [9, N]
     else:
         grads_inst = blend_jax.blend_backward_jax(
             padded, binned, out, g_out, cfg
@@ -144,10 +142,12 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
             num_keys=1,
             is_stable=False,
         )
-        rows = jnp.stack(unperm[1:], axis=1)  # [N, W]
-    # sentinel row (the zero row appended by pack_fields) gets zero grads
+        rows_t = jnp.stack(unperm[1:], axis=0)  # [W, N]
+    # sentinel column (the zero column appended by pack_fields) gets zero
+    # grads; output matches fields_ext's lane-compact [W, N+1] layout
     return jnp.concatenate(
-        [rows, jnp.zeros((n_ext - rows.shape[0], rows.shape[1]))]
+        [rows_t, jnp.zeros((rows_t.shape[0], n_ext - rows_t.shape[1]))],
+        axis=1,
     )
 
 
@@ -196,7 +196,7 @@ def _blend_fwd(cfg, fields_ext, rect, depths, valid):
         padded,
         binned,
         out,
-        fields_ext.shape[0],
+        fields_ext.shape[1],
         rect,
         depths,
         valid,

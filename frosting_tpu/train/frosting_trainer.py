@@ -26,7 +26,6 @@ from frosting_tpu.models.frosting import (
     FrostingMeta,
     FrostingParams,
     activate_frosting,
-    activate_frosting_subset,
 )
 from frosting_tpu.ops.ssim import l1_loss, psnr, ssim
 from frosting_tpu.raster import RasterConfig, render
@@ -201,45 +200,6 @@ def frosting_train_step(
     return _step_from_loss(loss_fn, params, opt_state, tx)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("tx", "rcfg", "cfg", "active_sh_degree")
-)
-def frosting_train_step_culled(
-    params: FrostingParams,
-    opt_state,
-    meta: FrostingMeta,
-    camera: Camera,
-    gt_image: jnp.ndarray,
-    vis_idx: jnp.ndarray,  # [C] int32 compacted visible indices
-    vis_valid: jnp.ndarray,  # [C] float32 padding mask
-    tx,
-    rcfg: RasterConfig,
-    cfg: FrostingTrainConfig,
-    active_sh_degree: int,
-    nc_pairs: jnp.ndarray | None = None,
-):
-    """Occlusion-culled step: renders only the compacted visible subset, so
-    preprocess/binning/blend cost scales with the visible count, matching
-    the reference's 'decreases optimization time and memory' claim
-    (refine.py:487-492, README.md:204)."""
-    bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
-
-    def loss_fn(p):
-        means, scales, quats, opac, sh = activate_frosting_subset(
-            p, meta, vis_idx, vis_valid
-        )
-        out = render(
-            means, scales, quats, opac, sh, camera, rcfg, bg=bg,
-            active_sh_degree=active_sh_degree,
-        )
-        loss, aux = _photometric(out, gt_image, cfg)
-        if cfg.regularize_shell and nc_pairs is not None:
-            loss = loss + _shell_normal_consistency(p, meta, nc_pairs, cfg)
-        return loss, aux
-
-    return _step_from_loss(loss_fn, params, opt_state, tx)
-
-
 def precompute_visibility(
     params: FrostingParams,
     meta: FrostingMeta,
@@ -266,29 +226,6 @@ def precompute_visibility(
     return out
 
 
-def compact_visibility(
-    vis: np.ndarray, n_frosting: int, pad_multiple: int = 256
-) -> tuple:
-    """[n_cams, N_total] 0/1 masks -> compacted frosting-Gaussian index
-    buffers. Returns (idx [n_cams, C] int32, valid [n_cams, C] float32):
-    a bounded capacity C (max visible count over cameras, padded up) so a
-    single culled-step executable serves every camera. Background columns
-    (>= n_frosting) are ignored — bg Gaussians are always rendered, as in
-    the reference (frosting_model.py:1524-1596 culls only cell faces)."""
-    fvis = vis[:, :n_frosting] > 0.5
-    counts = fvis.sum(axis=1)
-    c = int(counts.max()) if len(counts) else 1
-    c = max(pad_multiple, -(-c // pad_multiple) * pad_multiple)
-    n_cams = vis.shape[0]
-    idx = np.zeros((n_cams, c), np.int32)
-    valid = np.zeros((n_cams, c), np.float32)
-    for i in range(n_cams):
-        (w,) = np.nonzero(fvis[i])
-        idx[i, : len(w)] = w
-        valid[i, : len(w)] = 1.0
-    return idx, valid
-
-
 def train(
     params: FrostingParams,
     meta: FrostingMeta,
@@ -300,7 +237,12 @@ def train(
     start_iteration: int = 0,
     seed: int = 0,
     log_fn=print,
+    rcfg_culled: RasterConfig | None = None,
 ):
+    """rcfg_culled: optional smaller-capacity RasterConfig for the culled
+    iterations — every capacity-proportional cost (instance buffers, sorts,
+    backward reduction) shrinks with the visible subset, not just the
+    blend. Defaults to rcfg."""
     tx = make_frosting_optimizer(cfg, spatial_extent)
     opt_state = tx.init(params)
     rng = np.random.default_rng(seed)
@@ -318,12 +260,19 @@ def train(
                 mesh_ops.adjacent_face_pairs(np.asarray(meta.faces))
             )
         )
-    vis_idx = vis_valid = None
+    vis_masks = None
     if cfg.use_occlusion_culling:
-        vis = precompute_visibility(params, meta, cameras, rcfg)
-        vis_idx, vis_valid = compact_visibility(vis, n_frosting)
-        vis_idx = jax.device_put(jnp.asarray(vis_idx))
-        vis_valid = jax.device_put(jnp.asarray(vis_valid))
+        # Per-camera visibility masks zero the opacity of unseen-cell
+        # Gaussians; the opacity-aware rect cull (raster/preprocess.py)
+        # then emits ZERO instances for them, so the culled step's
+        # binning/blend genuinely run on ~the visible subset
+        # (refine.py:487-492; README.md:204) — no gather/scatter of the
+        # parameter arrays (a compacted-subset gather path was measured
+        # to eat most of the savings in per-row gather + backward
+        # scatter-add overhead).
+        vis_masks = jax.device_put(
+            jnp.asarray(precompute_visibility(params, meta, cameras, rcfg))
+        )
 
     history: List[Dict] = []
     order = rng.permutation(len(cameras))
@@ -335,11 +284,11 @@ def train(
             pos = 0
         ci = int(order[pos])
         pos += 1
-        if vis_idx is not None and it % cfg.cull_every == 0:
-            params, opt_state, aux = frosting_train_step_culled(
+        if vis_masks is not None and it % cfg.cull_every == 0:
+            params, opt_state, aux = frosting_train_step(
                 params, opt_state, meta, cameras[ci], gt_dev[ci],
-                vis_idx[ci], vis_valid[ci], tx, rcfg, cfg, cfg.sh_degree,
-                nc_pairs,
+                vis_masks[ci], tx, rcfg_culled or rcfg, cfg,
+                cfg.sh_degree, nc_pairs,
             )
         else:
             params, opt_state, aux = frosting_train_step(

@@ -135,23 +135,22 @@ def main():
     opt_state = tx.init(params)
 
     vis = frosting_trainer.precompute_visibility(params, meta, cams, rcfg)
-    vis_idx, vis_valid = frosting_trainer.compact_visibility(vis, n)
     vis_frac = float(vis[:, :n].mean())
-    cap_culled = vis_idx.shape[1]
-    vis_idx = jax.device_put(jnp.asarray(vis_idx))
-    vis_valid = jax.device_put(jnp.asarray(vis_valid))
+    vis_masks = jax.device_put(jnp.asarray(vis))
     ones = jnp.ones((n,), jnp.float32)
-    print(f"visible fraction {vis_frac:.3f}, culled cap {cap_culled}", flush=True)
+    print(f"visible fraction {vis_frac:.3f}", flush=True)
 
     # the culled executable gets its own, smaller instance capacity: every
-    # capacity-proportional cost (gather, layout, backward reduction)
-    # shrinks with the visible subset, not just the blend
-    def probe_culled(p, m, idx, val, cam):
-        g = frosting_lib.activate_frosting_subset(p, m, idx, val)
-        return count_instances(*g, cam, probe_cfg)
+    # capacity-proportional cost (instance buffers, sorts, backward
+    # reduction) shrinks with the visible subset, not just the blend. The
+    # mask zeroes opacity and the opacity-aware rect cull emits zero
+    # instances for masked gaussians (no param gathers).
+    def probe_culled(p, m, mask, cam):
+        me, sc, q, op, sh = frosting_lib.activate_frosting(p, m)
+        return count_instances(me, sc, q, op * mask, sh, cam, probe_cfg)
 
     n_inst_c = max(
-        int(jax.jit(probe_culled)(params, meta, vis_idx[i], vis_valid[i], cams[i]))
+        int(jax.jit(probe_culled)(params, meta, vis_masks[i], cams[i]))
         for i in range(2)
     )
     rcfg_culled = RasterConfig(
@@ -184,8 +183,8 @@ def main():
 
     def culled_step(p, s, i):
         c = i % len(cams)
-        return frosting_trainer.frosting_train_step_culled(
-            p, s, meta, cams[c], gt[c], vis_idx[c], vis_valid[c],
+        return frosting_trainer.frosting_train_step(
+            p, s, meta, cams[c], gt[c], vis_masks[c],
             tx, rcfg_culled, tcfg, 3,
         )
 

