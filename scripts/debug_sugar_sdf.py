@@ -11,22 +11,23 @@ the two sdf-phase terms.
 import argparse
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 import numpy as np
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default="both")
-    ap.add_argument("--gs-iters", type=int, default=300)
-    ap.add_argument("--sugar-iters", type=int, default=400)
+    ap.add_argument("--gs-iters", type=int, default=800)
+    ap.add_argument("--sugar-iters", type=int, default=800)
     ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--tpu", action="store_true")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if not args.tpu:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from frosting_tpu.raster import RasterConfig
@@ -34,17 +35,18 @@ def main():
     from frosting_tpu.train import gs_trainer, sugar_trainer
 
     rcfg = RasterConfig(
-        width=args.res, height=args.res, tile_w=32, tile_h=16, chunk=32,
-        max_instances=1 << 17, backend="jax",
+        width=args.res, height=args.res, tile_w=32, tile_h=16,
+        chunk=128 if args.tpu else 32,
+        max_instances=1 << 17, backend="auto",
     )
-    gt = synthetic.gaussian_blob_scene(n=4096, seed=0)
-    cams = synthetic.camera_ring(n_cams=10, radius=3.0)
+    gt = synthetic.gaussian_blob_scene(n=2048, seed=0)
+    cams = synthetic.camera_ring(n_cams=8, radius=3.0)
     white = jnp.ones((3,), jnp.float32)
     gt_imgs = synthetic.render_gt_images(gt, cams, rcfg, white)
 
     pts, cols = synthetic.degraded_init(gt, keep=0.7, jitter=0.02)
     gcfg = gs_trainer.GSTrainConfig(
-        iterations=args.gs_iters, capacity=8192, white_background=True,
+        iterations=args.gs_iters, capacity=4096, white_background=True,
         densify_until=int(args.gs_iters * 0.8), log_every=100,
     )
     state, hist = gs_trainer.train(
