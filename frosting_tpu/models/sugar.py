@@ -85,7 +85,11 @@ def sdf_estimation_density_loss(
     normals = smallest_axis(scales, quats)[inp.gaussian_idx]
     sdf_est = jnp.sum((inp.samples - means[inp.gaussian_idx]) * normals, -1)
     target = jnp.exp(-0.5 * sdf_est**2 / jnp.maximum(fv.beta, 1e-12) ** 2)
-    return jnp.mean(jnp.abs(fv.density_norm - target))
+    # RAW density, not the clamp-normalized one: the reference compares
+    # fields['density'] (cloned BEFORE the >=1 normalization,
+    # sugar_model.py:1309-1312) against the target, so interior samples
+    # with density > 1 feel the full flattening pressure
+    return jnp.mean(jnp.abs(fv.density - target))
 
 
 def render_depth_normal_maps(
