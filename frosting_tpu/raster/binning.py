@@ -277,11 +277,10 @@ def bin_gaussians(
     # every field is nonnegative and bounded, so packed channels stay
     # below 2^31. Worst case (huge caps/scenes) falls back to separate
     # channels automatically.
-    if cfg.n_tiles > (1 << 16) or cfg.tiles_x > 511:
-        raise ValueError("tile grid too large for packed binning decode")
     bits_cap = max(int(cap).bit_length(), 1)
     bits_n = max(int(n).bit_length(), 1)
     bits_t = max(int(cfg.n_tiles).bit_length(), 1)
+    bits_w = max(int(cfg.tiles_x).bit_length(), 1)  # rect width <= tiles_x
 
     # EVERY per-instance channel is its own diff-scatter run-length decode
     # (telescoping diffs at run starts; bit-packing multiple fields into
@@ -293,9 +292,9 @@ def bin_gaussians(
     # SCALAR rate (~7 ns/row — 2x the cost of a decode) even with monotone
     # indices, so the gather formulation lost ~3.5 ms/step.
     streams = []
-    pack_gw = bits_n + 9 <= 31  # gauss_orig | w
+    pack_gw = bits_n + bits_w <= 31  # gauss_orig | w
     pack_ob = bits_cap + bits_t <= 31  # offs | base
-    streams.append(gauss_sorted * 512 + w_s if pack_gw else gauss_sorted)
+    streams.append(gauss_sorted * (1 << bits_w) + w_s if pack_gw else gauss_sorted)
     if not pack_gw:
         streams.append(w_s)
     streams.append(offs * (1 << bits_t) + base_s if pack_ob else offs)
@@ -317,8 +316,8 @@ def bin_gaussians(
     dec = jnp.cumsum(delta, axis=1)  # [S, cap]
     s = 0
     if pack_gw:
-        gauss_c = dec[s] >> 9
-        i_w = jnp.maximum(dec[s] & 511, 1)
+        gauss_c = dec[s] >> bits_w
+        i_w = jnp.maximum(dec[s] & ((1 << bits_w) - 1), 1)
         s += 1
     else:
         gauss_c = dec[s]

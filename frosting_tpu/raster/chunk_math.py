@@ -32,6 +32,7 @@ its atomics with per-instance gradient rows reduced outside.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 from typing import NamedTuple
 
 import jax
@@ -50,25 +51,25 @@ from frosting_tpu.raster.config import (
 # kernel context, so the Pallas kernels opt in via kernel_mode(); the
 # pure-JAX twin keeps the concatenate form (results agree within the
 # blend parity tolerances — the shift itself is bitwise identical, only
-# tree_prod's pairing order differs).
-_KERNEL_MODE = False
+# tree_prod's pairing order differs). A ContextVar (not a module global)
+# so concurrent tracing threads can't leak kernel-mode lowerings into the
+# pure-JAX twin or vice versa.
+_KERNEL_MODE = contextvars.ContextVar("frosting_kernel_mode", default=False)
 
 
 @contextlib.contextmanager
 def kernel_mode():
     """Trace-time switch to Mosaic-native lane-shift lowerings."""
-    global _KERNEL_MODE
-    prev = _KERNEL_MODE
-    _KERNEL_MODE = True
+    token = _KERNEL_MODE.set(True)
     try:
         yield
     finally:
-        _KERNEL_MODE = prev
+        _KERNEL_MODE.reset(token)
 
 
 def _shift_right(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
     """Shift columns right by s along axis 1 (lanes), filling with `fill`."""
-    if _KERNEL_MODE:
+    if _KERNEL_MODE.get():
         from jax.experimental.pallas import tpu as pltpu
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1]), 1)
@@ -102,7 +103,7 @@ def tree_prod(x: jnp.ndarray) -> jnp.ndarray:
     """Product along axis 1 -> (P, 1) via halving tree (Mosaic has no
     reduce_prod lowering)."""
     k = x.shape[1]
-    if _KERNEL_MODE and (k & (k - 1)) == 0:
+    if _KERNEL_MODE.get() and (k & (k - 1)) == 0:
         from jax.experimental.pallas import tpu as pltpu
 
         s = 1
