@@ -63,27 +63,34 @@ import functools
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def _poisson_grid(points01, normals, n: int):
-    # V = -n (indicator falls from 1 inside to 0 outside along the normal)
-    vec = jnp.zeros((n, n, n, 3), jnp.float32)
-    vec = _trilinear_scatter(vec, points01, -normals, n)
-
-    # divergence by central differences (grid units)
+    # Memory shape: the naive form materializes an [n,n,n,3] vector field
+    # (1.5 GB f32 at 512^3) before taking its divergence. Instead each
+    # component is splatted into its own [n,n,n] grid and its directional
+    # central difference accumulated into div immediately, so the peak is
+    # 2 grids; the spectral solve uses rfftn (half-spectrum) for the same
+    # reason. Together this makes 512^3 (the reference's depth-9/10 range,
+    # coarse_shell.py:80) practical on one chip.
     def ddx(a, axis):
         return (jnp.roll(a, -1, axis) - jnp.roll(a, 1, axis)) * 0.5
 
-    div = ddx(vec[..., 0], 0) + ddx(vec[..., 1], 1) + ddx(vec[..., 2], 2)
+    # V = -n (indicator falls from 1 inside to 0 outside along the normal)
+    div = jnp.zeros((n, n, n), jnp.float32)
+    for c in range(3):
+        comp = jnp.zeros((n, n, n, 1), jnp.float32)
+        comp = _trilinear_scatter(comp, points01, -normals[:, c : c + 1], n)
+        div = div + ddx(comp[..., 0], c)
 
     # spectral inverse Laplacian (periodic; the padded bbox isolates the
     # object from wrap-around)
     k = jnp.fft.fftfreq(n) * 2.0 * jnp.pi
-    kx, ky, kz = jnp.meshgrid(k, k, k, indexing="ij")
+    kr = jnp.fft.rfftfreq(n) * 2.0 * jnp.pi
+    kx, ky, kz = jnp.meshgrid(k, k, kr, indexing="ij")
     # eigenvalues of the central-difference Laplacian: 2(cos k - 1) per axis
     lam = 2.0 * (jnp.cos(kx) + jnp.cos(ky) + jnp.cos(kz) - 3.0)
     lam = jnp.where(lam == 0.0, 1.0, lam)
-    div_hat = jnp.fft.fftn(div)
-    chi_hat = div_hat / lam
+    chi_hat = jnp.fft.rfftn(div) / lam
     chi_hat = chi_hat.at[0, 0, 0].set(0.0)
-    chi = jnp.real(jnp.fft.ifftn(chi_hat)).astype(jnp.float32)
+    chi = jnp.fft.irfftn(chi_hat, s=(n, n, n)).astype(jnp.float32)
 
     iso = jnp.mean(_trilinear_sample(chi, points01, n))
     return chi, iso

@@ -45,8 +45,15 @@ class ShellConfig:
     # (compute_optimal_poisson_depth, coarse_shell.py:17-49), capped at
     # max_poisson_resolution
     poisson_resolution: int = 0
-    max_poisson_resolution: int = 256
+    # 512^3 = depth 9; the reference's real-scene default is depth 10
+    # (coarse_shell.py:80); the FFT solve holds 512^3 on one chip
+    max_poisson_resolution: int = 512
     target_vertices: int = 1_000_000  # high_poly default (train.py:118-121)
+    # second decimation target (the reference emits BOTH 1M and 200k
+    # meshes per extraction, coarse_shell.py:105-108): when set, the same
+    # Poisson mesh is also decimated/cleaned to this budget and returned
+    # in aux["low_poly"] = (verts, faces)
+    target_vertices_low: int | None = None
     outlier_k: int = 20
     outlier_std: float = 2.0
     # fraction of least-supported Poisson vertices to drop
@@ -452,27 +459,35 @@ def _mesh_from_point_cloud(
         off = np.abs(pts - avg[None]).max(axis=1)
         fg_mask = off < cfg.fg_bbox_factor * extent
         bg_mask = (~fg_mask) & (off < cfg.bg_bbox_factor * extent)
-        halves = [
-            _reconstruct_half(pts[m], nrm[m], cfg, verbose, tag)
-            for m, tag in ((fg_mask, "fg"), (bg_mask, "bg"))
+        raw_halves = [
+            h
+            for h in (
+                _reconstruct_half(pts[m], nrm[m], cfg, verbose, tag)
+                for m, tag in ((fg_mask, "fg"), (bg_mask, "bg"))
+            )
+            if h is not None
         ]
+    else:
+        raw_halves = [_reconstruct_half(pts, nrm, cfg, verbose, "all")]
+
+    def finalize(target):
+        """Decimate the shared Poisson halves to one budget and run the
+        clean tail (projection + visibility culling)."""
         halves = [
-            meshclean.decimate(v, f, cfg.target_vertices)
-            for v, f in [h for h in halves if h is not None]
+            meshclean.decimate(v, f, target) for v, f in raw_halves
         ]
         verts, faces = meshclean.merge_meshes(halves)
-    else:
-        verts, faces = _reconstruct_half(pts, nrm, cfg, verbose, "all")
-        verts, faces = meshclean.decimate(verts, faces, cfg.target_vertices)
+        if cfg.project_on_surface:
+            verts = meshclean.project_on_points(verts, pts)
+        if cfg.visibility_threshold is not None:
+            verts, faces = meshclean.visibility_cull_components(
+                verts, faces, cameras, rcfg, cfg.visibility_threshold
+            )
+        else:
+            verts, faces = meshclean.largest_component(verts, faces)
+        return verts, faces
 
-    if cfg.project_on_surface:
-        verts = meshclean.project_on_points(verts, pts)
-    if cfg.visibility_threshold is not None:
-        verts, faces = meshclean.visibility_cull_components(
-            verts, faces, cameras, rcfg, cfg.visibility_threshold
-        )
-    else:
-        verts, faces = meshclean.largest_component(verts, faces)
+    verts, faces = finalize(cfg.target_vertices)
     if verbose:
         print(f"[shell] cleaned mesh: {len(verts)} verts {len(faces)} faces")
     aux = {
@@ -480,4 +495,11 @@ def _mesh_from_point_cloud(
         "surface_normals": nrm,
         "inner_points": inner,
     }
+    # second budget from the same reconstruction (coarse_shell.py:105-108
+    # emits both the 1M high-poly and 200k low-poly meshes per run)
+    if cfg.target_vertices_low:
+        lv, lf = finalize(cfg.target_vertices_low)
+        aux["low_poly"] = (lv, lf)
+        if verbose:
+            print(f"[shell] low-poly mesh: {len(lv)} verts {len(lf)} faces")
     return verts, faces, aux

@@ -38,6 +38,12 @@ class PipelineConfig:
         frosting_trainer.FrostingTrainConfig()
     )
     use_background_gaussians: bool = False
+    # optional refined-SuGaR stage between shell extraction and frosting
+    # (the reference's refined mesh-bound SuGaR, sugar_model.py:186-360):
+    # 0 = skip; >0 = train that many iterations of mesh-bound Gaussians
+    # on the extracted shell and report it in the results dict
+    refined_sugar_iterations: int = 0
+    refined_sugar_n_per_triangle: int = 6
 
 
 def run_pipeline(
@@ -92,6 +98,21 @@ def run_pipeline(
     out["shell_verts"] = verts
     out["shell_faces"] = faces
 
+    if cfg.refined_sugar_iterations > 0:
+        if log_fn:
+            log_fn("=== stage 3b: refined SuGaR (mesh-bound) ===")
+        rs_params, rs_meta, rs_hist = train_refined_sugar(
+            verts, faces, means, params_live, spatial_extent,
+            cameras, gt_images, rcfg,
+            iterations=cfg.refined_sugar_iterations,
+            n_per_triangle=cfg.refined_sugar_n_per_triangle,
+            white_background=cfg.refine.white_background,
+            seed=seed, log_fn=log_fn,
+        )
+        out["refined_sugar_params"] = rs_params
+        out["refined_sugar_meta"] = rs_meta
+        out["refined_sugar_history"] = rs_hist
+
     if log_fn:
         log_fn("=== stage 4: frosting init ===")
     fparams, meta = frosting_lib.init_frosting(
@@ -112,13 +133,57 @@ def run_pipeline(
     return out
 
 
-def export_frosting_ply(fparams, meta, path: str) -> None:
-    """Export the refined frosting as a 3DGS-viewer PLY
-    (convert_frosting_into_gaussians -> save_ply, refine.py:585-599)."""
+def train_refined_sugar(
+    verts,
+    faces,
+    coarse_means,
+    coarse_params,
+    spatial_extent: float,
+    cameras: List[Camera],
+    gt_images: np.ndarray,
+    rcfg: RasterConfig,
+    iterations: int = 2_000,
+    n_per_triangle: int = 6,
+    white_background: bool = False,
+    seed: int = 0,
+    log_fn=print,
+):
+    """Refined mesh-bound SuGaR on an extracted shell: pins flat Gaussians
+    to the mesh triangles (sugar_model.py:186-360) and optimizes their
+    in-plane scales / rotations / opacity / SH against the photometric
+    loss. SH-dc is seeded from each vertex's nearest coarse Gaussian.
+    Returns (MeshBoundParams, MeshBoundMeta, history)."""
+    from frosting_tpu.models import mesh_bound as mb_lib
+    from frosting_tpu.ops import knn as knn_lib
     from frosting_tpu.ops import sh as sh_ops
+    from frosting_tpu.train import refined_sugar as rs_trainer
+
+    idx, _ = knn_lib.knn_query(
+        jnp.asarray(verts, jnp.float32), jnp.asarray(coarse_means), k=1
+    )
+    vert_colors = np.asarray(
+        sh_ops.sh_to_rgb(coarse_params.sh_dc[idx[:, 0], 0])
+    )
+    rs_params, rs_meta = mb_lib.init_mesh_bound(
+        np.asarray(verts), np.asarray(faces),
+        n_per_triangle=n_per_triangle, vertex_colors=vert_colors,
+    )
+    rs_cfg = rs_trainer.MeshBoundTrainConfig(
+        iterations=iterations, lr_max_steps=iterations,
+        white_background=white_background,
+    )
+    rs_params, rs_hist = rs_trainer.train(
+        rs_params, rs_meta, spatial_extent, cameras, gt_images, rcfg,
+        rs_cfg, seed=seed, log_fn=log_fn,
+    )
+    return rs_params, rs_meta, rs_hist
+
+
+def export_gaussians_ply(means, scales, quats, opac, sh, path: str) -> None:
+    """Write plain Gaussian arrays as a 3DGS-viewer-compatible PLY
+    (gaussian_model.py:177-208 field layout)."""
     from frosting_tpu.utils import ply as ply_io
 
-    means, scales, quats, opac, sh = frosting_lib.to_gaussians(fparams, meta)
     n = means.shape[0]
     means = np.asarray(means)
     props = {
@@ -145,3 +210,10 @@ def export_frosting_ply(fparams, meta, path: str) -> None:
     for i in range(4):
         props[f"rot_{i}"] = q[:, i]
     ply_io.write_ply(path, props)
+
+
+def export_frosting_ply(fparams, meta, path: str) -> None:
+    """Export the refined frosting as a 3DGS-viewer PLY
+    (convert_frosting_into_gaussians -> save_ply, refine.py:585-599)."""
+    means, scales, quats, opac, sh = frosting_lib.to_gaussians(fparams, meta)
+    export_gaussians_ply(means, scales, quats, opac, sh, path)

@@ -10,6 +10,7 @@ hand-off, train_full_pipeline.py:155-208):
   python -m frosting_tpu.stages_cli train-gs       -s SCENE -o OUT [...]
   python -m frosting_tpu.stages_cli train-sugar    -s SCENE -o OUT [...]
   python -m frosting_tpu.stages_cli extract-shell  -s SCENE -o OUT [...]
+  python -m frosting_tpu.stages_cli train-refined-sugar -s SCENE -o OUT [...]
   python -m frosting_tpu.stages_cli train-frosting -s SCENE -o OUT [...]
   python -m frosting_tpu.stages_cli extract-texture -s SCENE -o OUT [...]
   python -m frosting_tpu.stages_cli render         -s SCENE -o OUT [...]
@@ -17,8 +18,9 @@ hand-off, train_full_pipeline.py:155-208):
   python -m frosting_tpu.stages_cli full-eval      -s SCENE -o OUT [...]
   python -m frosting_tpu.stages_cli convert        -s RAW_DIR
 
-Artifacts in OUT: gs.ply, sugar.ply, shell.ply (mesh), frosting.npz,
-frosting.ply, mesh.obj/.mtl/.png, renders/, metrics.json.
+Artifacts in OUT: gs.ply, sugar.ply, shell.ply (mesh), refined_sugar.npz/
+.ply (optional), frosting.npz, frosting.ply, mesh.obj/.mtl/.png, renders/,
+metrics.json.
 """
 
 from __future__ import annotations
@@ -152,16 +154,21 @@ def cmd_extract_shell(args):
         surface_level=args.surface_level,
         poisson_resolution=args.poisson_resolution,
         target_vertices=200_000 if args.low_poly else 1_000_000,
+        target_vertices_low=200_000 if args.both_poly else None,
         cleaning_quantile=args.cleaning_quantile,
         fg_split=args.fg_split,
         method=args.method,
         marching_resolution=args.marching_resolution,
     )
-    verts, faces, _aux = extract_shell(
+    verts, faces, aux = extract_shell(
         means, scales, quats, opac, cams, rcfg, cfg, verbose=True
     )
     _save_mesh(_mesh_path(args.output), verts, faces)
     print("wrote", _mesh_path(args.output), len(verts), "verts")
+    if "low_poly" in aux:
+        lp = os.path.join(args.output, "shell_lowpoly.ply")
+        _save_mesh(lp, *aux["low_poly"])
+        print("wrote", lp, len(aux["low_poly"][0]), "verts")
 
 
 def cmd_train_frosting(args):
@@ -201,6 +208,32 @@ def cmd_train_frosting(args):
         fparams, meta, os.path.join(args.output, "frosting.ply")
     )
     print("wrote", os.path.join(args.output, "frosting.npz"))
+
+
+def cmd_train_refined_sugar(args):
+    from frosting_tpu.models.mesh_bound import activate_mesh_bound
+    from frosting_tpu.pipeline import export_gaussians_ply, train_refined_sugar
+    from frosting_tpu.scene.gaussians import activate
+    from frosting_tpu.train import checkpoint
+
+    scene, cams, gt, rcfg = _load_scene(args)
+    params = _load_live_gaussians(os.path.join(args.output, "sugar.ply"))
+    verts, faces = _load_mesh(_mesh_path(args.output))
+    means, _sc, _q, _op, _sh = activate(params)
+    rs_params, rs_meta, _h = train_refined_sugar(
+        verts, faces, means, params, scene.spatial_extent, cams, gt, rcfg,
+        iterations=args.iterations,
+        n_per_triangle=args.gaussians_per_triangle,
+        white_background=args.white_bg,
+    )
+    checkpoint.save_npz(
+        os.path.join(args.output, "refined_sugar.npz"), rs_params
+    )
+    export_gaussians_ply(
+        *activate_mesh_bound(rs_params, rs_meta),
+        os.path.join(args.output, "refined_sugar.ply"),
+    )
+    print("wrote", os.path.join(args.output, "refined_sugar.ply"))
 
 
 def cmd_extract_texture(args):
@@ -363,6 +396,9 @@ def build_parser():
     sp.add_argument("--poisson-resolution", type=int, default=0)
     sp.add_argument("--cleaning-quantile", type=float, default=0.1)
     sp.add_argument("--low-poly", action="store_true")
+    # emit BOTH the 1M high-poly and a 200k low-poly mesh from one
+    # reconstruction (shell.ply + shell_lowpoly.ply), coarse_shell.py:105-108
+    sp.add_argument("--both-poly", action="store_true")
     sp.add_argument("--fg-split", action="store_true")
     # ablation extraction paths (reference flags use_centers_to_extract_mesh
     # / use_marching_cubes, coarse_shell.py:145-146)
@@ -385,6 +421,14 @@ def build_parser():
         "--normal-consistency-factor", type=float, default=0.1
     )
     sp.set_defaults(fn=cmd_train_frosting)
+
+    sp = sub.add_parser("train-refined-sugar")
+    _common(sp)
+    sp.add_argument("--iterations", type=int, default=2_000)
+    sp.add_argument(
+        "--gaussians-per-triangle", type=int, default=6, choices=[1, 3, 4, 6]
+    )
+    sp.set_defaults(fn=cmd_train_refined_sugar)
 
     sp = sub.add_parser("extract-texture")
     _common(sp)

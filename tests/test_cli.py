@@ -134,6 +134,12 @@ def test_stage_clis(tmp_path):
     )
     assert os.path.exists(f"{out}/shell.ply")
     stages_cli.main(
+        ["train-refined-sugar", *common, "--iterations", "25",
+         "--gaussians-per-triangle", "1"]
+    )
+    assert os.path.exists(f"{out}/refined_sugar.ply")
+    assert os.path.exists(f"{out}/refined_sugar.npz")
+    stages_cli.main(
         ["train-frosting", *common, "--gaussians", "2048",
          "--iterations", "40"]
     )

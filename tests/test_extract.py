@@ -86,6 +86,7 @@ def test_shell_extraction_on_gaussian_sphere():
         surface_level=0.3,
         poisson_resolution=80,
         target_vertices=5000,
+        target_vertices_low=600,
         knn_k=8,
     )
     verts, faces, aux = extract_shell(
@@ -98,6 +99,12 @@ def test_shell_extraction_on_gaussian_sphere():
     assert 0.8 < np.median(r) < 1.35, np.median(r)
     sp = aux["surface_points"]
     assert len(sp) > 2000
+    # dual decimation target (coarse_shell.py:105-108): the low-poly
+    # variant comes from the SAME reconstruction at a smaller budget
+    lv, lf = aux["low_poly"]
+    assert 100 < len(lv) < len(verts)
+    rl = np.linalg.norm(lv, axis=1)
+    assert 0.8 < np.median(rl) < 1.35, np.median(rl)
 
 
 def test_auto_poisson_resolution():
