@@ -32,9 +32,34 @@ def smallest_axis(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
 
 def entropy_loss(opacities: jnp.ndarray, visible: jnp.ndarray) -> jnp.ndarray:
     """Binary entropy of visible opacities (coarse_density.py:542-555) —
-    pushes opacities towards 0/1."""
-    o = opacities
-    ent = -o * jnp.log(o + 1e-10) - (1.0 - o) * jnp.log(1.0 - o + 1e-10)
+    pushes opacities towards 0/1.
+
+    The probabilities are clamped away from {0, 1}: with f32 sigmoid
+    saturation (o == 1.0 exactly for logits above ~16.6) the fused XLA
+    gradient of -(1-o)*log(1-o+eps) produced NaN for saturated rows —
+    which then silently CULLED those gaussians (NaN opacity fails the
+    >= ALPHA_CUTOFF preprocess test) and poisoned Adam state forever.
+    At the clamp boundary the clip gradient is exactly zero, which is
+    also the true limit of the entropy gradient there. Callers holding
+    logits should prefer entropy_loss_from_logits (exact at any
+    saturation)."""
+    o = jnp.clip(opacities, 1e-7, 1.0 - 1e-7)
+    ent = -o * jnp.log(o) - (1.0 - o) * jnp.log(1.0 - o)
+    w = visible.astype(jnp.float32)
+    return jnp.sum(ent * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def entropy_loss_from_logits(
+    logits: jnp.ndarray, visible: jnp.ndarray
+) -> jnp.ndarray:
+    """Binary entropy of sigmoid(logits), computed in logit space:
+    log(o) = -softplus(-x) and log(1-o) = -softplus(x), so
+    ent = o*softplus(-x) + (1-o)*softplus(x) — finite value AND gradient
+    at any saturation (the probability-space form NaNs under XLA fusion
+    once f32 sigmoid rounds to exactly 1)."""
+    x = logits
+    o = jax.nn.sigmoid(x)
+    ent = o * jax.nn.softplus(-x) + (1.0 - o) * jax.nn.softplus(x)
     w = visible.astype(jnp.float32)
     return jnp.sum(ent * w) / jnp.maximum(jnp.sum(w), 1.0)
 

@@ -11,9 +11,13 @@ Shardings:
     a device-folded key and evaluates the KNN density field on the
     replicated cloud; the psum mean over devices equals a single-device
     step with the same total sample budget (up to sampling randomness).
-
-The depth-anchored 'sdf' mode (coarse_sdf.py) needs the full rendered
-depth map per sample and is left to the single-device trainer.
+  * depth-anchored 'sdf' mode (coarse_sdf.py:577-650, the MipNeRF360
+    paper config): each device renders its DEPTH STRIP by reusing the
+    shifted projection with per-gaussian view depth as the color, then
+    all_gathers the strips along the tile axis into the full depth map —
+    a differentiable gather whose transpose scatters the sample-loss
+    gradients back to the owning strip — and evaluates its sample shard
+    against it.
 """
 
 from __future__ import annotations
@@ -45,11 +49,6 @@ def make_sharded_sugar_step(
 ):
     """Returns jitted step(params, opt_state, cam_batch, gt_batch, knn_idx,
     key) -> (params, opt_state, metrics)."""
-    if phase == "sdf" and cfg.method == "sdf":
-        raise NotImplementedError(
-            "depth-anchored sdf mode is single-device; shard the density "
-            "mode (the Shelly paper config) or use data parallelism"
-        )
     n_data = mesh.shape["data"]
     n_tile = mesh.shape["tile"]
     s_cfg = strip_config(rcfg, n_tile)
@@ -90,9 +89,12 @@ def make_sharded_sugar_step(
         live = visible & (params.mask > 0.5)
         if phase == "entropy":
             # per-gaussian mean over the REPLICATED cloud: divide by the
-            # full device count so the psum equals one copy
-            loss = loss + cfg.entropy_factor * sugar_lib.entropy_loss(
-                opac, live
+            # full device count so the psum equals one copy. Logit-space
+            # entropy (NaN-free at f32 sigmoid saturation).
+            loss = loss + cfg.entropy_factor * (
+                sugar_lib.entropy_loss_from_logits(
+                    params.opacities_raw, live
+                )
             ) / n_dev
         if phase == "sdf":
             dev_key = jax.random.fold_in(
@@ -102,9 +104,30 @@ def make_sharded_sugar_step(
                 dev_key, means, scales, quats, knn_idx, live,
                 samples_per_dev, cfg.sdf_sampling_scale_factor,
             )
-            sdf_l = sugar_lib.sdf_estimation_density_loss(
-                inp, means, scales, quats, opac, beta_mode=cfg.beta_mode
-            )
+            if cfg.method == "sdf":
+                # depth-anchored mode: render this device's depth strip by
+                # swapping the (already shifted) projection's colors for
+                # the per-gaussian view depth — the same alpha-blended
+                # depth the single-device render_depth_normal_maps
+                # produces — then reassemble the full map across strips
+                dproj = proj._replace(
+                    colors=jnp.stack([proj.depths] * 3, axis=-1)
+                )
+                dout = render_projected(dproj, s_cfg, bg=jnp.zeros((3,)))
+                acc = 1.0 - dout.t_final
+                depth_strip = dout.image[0] / jnp.maximum(acc, 1e-6)
+                depth_full = jax.lax.all_gather(
+                    depth_strip, "tile", tiled=True
+                )  # [H, W]
+                sdf_l = sugar_lib.sdf_estimation_sdf_mode_loss(
+                    inp, means, scales, quats, opac, depth_full,
+                    camera, rcfg, cfg.spatial_extent,
+                    beta_mode=cfg.beta_mode,
+                )
+            else:
+                sdf_l = sugar_lib.sdf_estimation_density_loss(
+                    inp, means, scales, quats, opac, beta_mode=cfg.beta_mode
+                )
             bn_l = sugar_lib.better_normal_loss(
                 inp, means, scales, quats, opac
             )

@@ -97,8 +97,12 @@ def sugar_train_step(
         visible = out.radii > 0
 
         if phase == "entropy":
-            loss = loss + cfg.entropy_factor * sugar_lib.entropy_loss(
-                opac, visible & (p.mask > 0.5)
+            # logit-space entropy: exact and NaN-free even when f32
+            # sigmoid saturates to 1.0 (see entropy_loss_from_logits)
+            loss = loss + cfg.entropy_factor * (
+                sugar_lib.entropy_loss_from_logits(
+                    p.opacities_raw, visible & (p.mask > 0.5)
+                )
             )
         if phase == "sdf":
             inp = sugar_lib.sample_sdf_points(

@@ -172,15 +172,17 @@ def main():
         if (
             it % scfg.log_every == 0
             or not np.isfinite(loss)
-            or (1640 <= it <= 1730)
+            or (1645 <= it <= 1730)
         ):
             print(
                 f"[sugar] it {it} [{phase}] loss {loss:.4f} "
                 f"psnr {float(aux['psnr']):.2f}",
                 flush=True,
             )
-        if not np.isfinite(loss) or (it in (1650, 1660, 1699, 1701, 1705,
-                                            1750, 1900)):
+        if it in (1300, 1645, 1651, 1655, 1660, 1680, 1699, 1701, 1705,
+                  1750, 1900, 2100) or (
+            not np.isfinite(loss) and it % 37 == 0
+        ):
             probe(f"it{it}", params)
 
 

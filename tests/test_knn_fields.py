@@ -109,6 +109,37 @@ def test_sugar_losses_finite_and_meaningful():
     )
     assert 0.0 < float(ent) < 0.7
 
+    # saturated-opacity regression (the entropy->sdf collapse root cause):
+    # with f32 sigmoid saturation (logit > ~16.6 -> o == 1.0 exactly) the
+    # fused XLA gradient of the probability-space entropy was NaN, which
+    # silently culled gaussians every entropy step. BOTH forms must give
+    # finite grads at any saturation under jit.
+    logits = jnp.asarray(
+        rng.uniform(-30, 30, n).astype(np.float32)
+    ).at[:16].set(jnp.asarray([18.7, 16.67, 25.0, -25.0, 16.6, 17.0,
+                               30.0, -30.0, 0.0, 1.0, -1.0, 16.62,
+                               16.63, 16.64, 16.65, 16.66]))
+    vis = jnp.ones(n, bool)
+    g_logit = jax.jit(
+        jax.grad(lambda x: sugar.entropy_loss_from_logits(x, vis))
+    )(logits)
+    assert np.isfinite(np.asarray(g_logit)).all()
+    g_prob = jax.jit(
+        jax.grad(lambda x: sugar.entropy_loss(jax.nn.sigmoid(x), vis))
+    )(logits)
+    assert np.isfinite(np.asarray(g_prob)).all()
+    # the two forms agree away from saturation
+    mid = np.abs(np.asarray(logits)) < 8
+    e1 = sugar.entropy_loss_from_logits(logits, vis)
+    e2 = sugar.entropy_loss(jax.nn.sigmoid(logits), vis)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-4, atol=1e-6)
+    g2 = np.asarray(
+        jax.grad(lambda x: sugar.entropy_loss(jax.nn.sigmoid(x), vis))(logits)
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_logit)[mid], g2[mid], rtol=1e-3, atol=1e-6
+    )
+
     inp = sugar.sample_sdf_points(
         jax.random.key(0), jnp.asarray(centers), jnp.asarray(scales),
         jnp.asarray(quats), knn_idx, jnp.ones(n, bool), 1024,

@@ -353,3 +353,62 @@ def test_sharded_sugar_step():
     # regularizers add loss beyond the photometric value
     assert float(m_sdf["loss"]) > float(m_photo["loss"])
     assert np.isfinite(np.asarray(p2.means3d[:300]).sum())
+
+    # depth-anchored sdf mode (MipNeRF360 paper config,
+    # coarse_sdf.py:577-650): strip-rendered depth all_gathered across the
+    # tile axis; the step must run sharded with finite loss and updates
+    scfg_sdf = sugar_trainer.SugarTrainConfig(
+        method="sdf", n_sdf_samples=4096, knn_k=8, spatial_extent=3.3
+    )
+    step_sdf2 = ssg.make_sharded_sugar_step(tx, rcfg, scfg_sdf, mesh, "sdf")
+    p3, _o3, m_sdf2 = step_sdf2(
+        params, opt_state, cams_s, gts_s, knn_idx, jax.random.key(2)
+    )
+    assert np.isfinite(float(m_sdf2["loss"]))
+    assert float(m_sdf2["loss"]) > float(m_photo["loss"])
+    assert np.isfinite(np.asarray(p3.means3d[:300]).sum())
+    moved = np.abs(np.asarray(p3.means3d[:300] - params.means3d[:300]))
+    assert moved.max() > 0
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_strip_depth_assembly_matches_full_render():
+    """The sharded sdf-mode depth map (per-strip render with view depth as
+    color, strips concatenated along the tile axis) must equal the
+    single-device full-image depth render used by
+    render_depth_normal_maps."""
+    from frosting_tpu.models import sugar as sugar_lib
+    from frosting_tpu.parallel.sharded_train import strip_config
+    from frosting_tpu.raster.preprocess import preprocess, shift_projected
+    from frosting_tpu.raster.render import render_projected
+
+    rcfg = RasterConfig(
+        width=64, height=64, tile_w=32, tile_h=16, chunk=32,
+        max_instances=4096, backend="jax",
+    )
+    gt = synthetic.gaussian_blob_scene(n=300, seed=5)
+    cam = synthetic.camera_ring(n_cams=1, radius=3.0)[0]
+    means, scales, quats, opac, sh = gt
+
+    depth_ref, _nm, _acc = sugar_lib.render_depth_normal_maps(
+        means, scales, quats, opac, cam, rcfg
+    )
+
+    n_tile = 4
+    s_cfg = strip_config(rcfg, n_tile)
+    proj_full = preprocess(means, scales, quats, opac, sh, cam, rcfg)
+    strips = []
+    for t in range(n_tile):
+        proj = shift_projected(
+            proj_full, (0, t * s_cfg.height), s_cfg, tile_aligned=True
+        )
+        dproj = proj._replace(
+            colors=jnp.stack([proj.depths] * 3, axis=-1)
+        )
+        dout = render_projected(dproj, s_cfg, bg=jnp.zeros((3,)))
+        acc = 1.0 - dout.t_final
+        strips.append(dout.image[0] / jnp.maximum(acc, 1e-6))
+    depth_strips = jnp.concatenate(strips, axis=0)
+    np.testing.assert_allclose(
+        np.asarray(depth_strips), np.asarray(depth_ref), rtol=2e-5, atol=2e-5
+    )
