@@ -93,6 +93,93 @@ def time_step(n_devices: int, which: str, iters: int = 8) -> dict:
             "pix_per_s": round(pix_s)}
 
 
+def fabricate_frosting(n_gauss: int, n_verts: int = 2048):
+    """Synthetic FrostingParams/Meta at a given budget (no extraction/init
+    pass needed for a compile-memory measurement)."""
+    import jax.numpy as jnp
+
+    from frosting_tpu.models.frosting import FrostingMeta, FrostingParams
+
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(n_verts, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    n_faces = 2 * n_verts - 4
+    faces = rng.integers(0, n_verts, (n_faces, 3)).astype(np.int32)
+    params = FrostingParams(
+        shell_verts=jnp.asarray(v),
+        inner_dist=jnp.full((n_verts,), -0.02),
+        outer_dist=jnp.full((n_verts,), 0.05),
+        bary_logits=jnp.zeros((n_gauss, 6)),
+        scales_log=jnp.full((n_gauss, 3), -4.0),
+        quats_raw=jnp.concatenate(
+            [jnp.ones((n_gauss, 1)), jnp.zeros((n_gauss, 3))], 1
+        ),
+        opacities_raw=jnp.zeros((n_gauss,)),
+        sh_dc=jnp.zeros((n_gauss, 1, 3)),
+        sh_rest=jnp.zeros((n_gauss, 15, 3)),
+    )
+    meta = FrostingMeta(
+        faces=jnp.asarray(faces),
+        cell_idx=jnp.asarray(
+            rng.integers(0, n_faces, n_gauss).astype(np.int32)
+        ),
+    )
+    return params, meta
+
+
+def memory_columns(n_devices: int, n_gauss: int = 1 << 20) -> dict:
+    """Per-chip compiled-memory of the refine step at a 1M-gaussian budget:
+    all-gather route vs all_to_all exchange route. XLA's memory_analysis is
+    per-device and backend-independent, so the virtual CPU mesh measures
+    exactly the quantity that matters on a pod: whether per-chip temp
+    memory scales with N (gather) or with N/n_tile + exchange capacity."""
+    from frosting_tpu.parallel import sharded_frosting as sf
+    from frosting_tpu.parallel import sharded_train as st
+    from frosting_tpu.raster import RasterConfig
+    from frosting_tpu.scene import synthetic
+    from frosting_tpu.train import frosting_trainer
+
+    n_tile = n_devices
+    rcfg = RasterConfig(
+        width=256, height=256, tile_w=32, tile_h=32, chunk=64,
+        max_instances=1 << 21, backend="jax",
+    )
+    mesh = st.make_mesh(n_data=1, n_tile=n_tile)
+    fparams, meta = fabricate_frosting(n_gauss)
+    tcfg = frosting_trainer.FrostingTrainConfig(iterations=1)
+    tx = frosting_trainer.make_frosting_optimizer(tcfg, 3.5)
+    opt_state = tx.init(fparams)
+    cams = synthetic.camera_ring(n_cams=1, radius=3.0)
+    gt = jnp.zeros((1, 3, 256, 256), jnp.float32)
+    cams_s, gts_s = st.shard_batch(mesh, st.stack_cameras(cams), gt)
+
+    row = {"devices": n_devices, "n_gaussians": n_gauss,
+           "exchange_rows_held": None}
+    # per-(sender,receiver) capacity: ~uniform share N/n_tile^2 with 4x
+    # slack (each gaussian's rect typically overlaps 1-2 strips); the
+    # receiver then holds n_tile*cap_pair = 4N/n_tile rows instead of the
+    # gather route's N — THAT is the per-chip memory scaling being measured
+    cap_pair = max(4096, 4 * n_gauss // (n_tile * n_tile))
+    row["exchange_rows_held"] = n_tile * cap_pair
+    for tag, kwargs in (
+        ("gather", {}),
+        ("exchange", {"primitive_exchange": True,
+                      "exchange_cap": cap_pair}),
+    ):
+        step = sf.make_sharded_frosting_step(
+            tx, rcfg, tcfg, mesh, meta, **kwargs
+        )
+        compiled = step.lower(fparams, opt_state, cams_s, gts_s).compile()
+        ma = compiled.memory_analysis()
+        row[tag] = {
+            "temp_MB": round(ma.temp_size_in_bytes / 2**20, 1),
+            "argument_MB": round(ma.argument_size_in_bytes / 2**20, 1),
+            "output_MB": round(ma.output_size_in_bytes / 2**20, 1),
+        }
+        print("memory", n_devices, tag, row[tag], flush=True)
+    return row
+
+
 def main():
     out = {"note": "virtual CPU mesh (one host) — relative overhead only"}
     for which in ("gs", "refine"):
@@ -106,6 +193,10 @@ def main():
         for r in rows:
             r["efficiency_vs_1dev"] = round(r["pix_per_s"] / base, 3)
         out[which] = rows
+    # per-chip compiled memory at a 1M-gaussian refine: gather vs exchange
+    out["refine_memory_1m"] = [
+        memory_columns(nd) for nd in (1, 4, 8) if nd <= jax.device_count()
+    ]
     with open("SCALING.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

@@ -112,3 +112,26 @@ def test_evaluate_views_reports_lpips(tmp_path):
     )
     assert res["lpips"] is not None and np.isfinite(res["lpips"])
     assert res["n_views"] == 2
+
+
+def test_lpips_golden_value_with_real_weights():
+    """Constants validation with REAL weights: the vendored npz (produced
+    by scripts/export_lpips_weights.py on an internet-connected machine)
+    embeds a golden pair + the torch-side LPIPS distance computed from the
+    exact exported weights; the JAX implementation must reproduce it.
+    Skipped when no real-weight npz is vendored (air-gapped build env)."""
+    import os
+
+    path = os.environ.get("FROSTING_TPU_LPIPS_WEIGHTS")
+    if not path or not os.path.exists(path):
+        pytest.skip("no real-weight LPIPS npz vendored")
+    z = np.load(path)
+    if "golden_value" not in z:
+        pytest.skip("npz lacks embedded golden value (old export)")
+
+    from frosting_tpu.metrics import LPIPS
+
+    lp = LPIPS(path)
+    ours = float(lp(z["golden_a"], z["golden_b"]))
+    np.testing.assert_allclose(ours, float(z["golden_value"]), rtol=1e-3)
+    assert float(lp(z["golden_a"], z["golden_a"])) < 1e-8
