@@ -54,6 +54,12 @@ class FrostingParams:
 class FrostingMeta(NamedTuple):
     faces: jnp.ndarray  # [F, 3] int32
     cell_idx: jnp.ndarray  # [N] int32 cell (face) of each frosting Gaussian
+    # [F+1] prefix bounds into a SORTED cell_idx (bounds[f] = first row of
+    # cell f). When present, gaussian_centers' backward reduces the corner
+    # gradients as prefix-sum differences over the contiguous segments
+    # instead of an N-row scatter-add (which runs at TPU scalar rate and
+    # dominated the 2M refine step). None = unsorted cell_idx, gather path.
+    cell_bounds: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,13 +106,65 @@ def cell_corners(p: FrostingParams, faces: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([tri_in, tri_out], axis=1)
 
 
+@jax.custom_vjp
+def _blend_corners_sorted(w, corners, cell_idx, cell_bounds):
+    """means[n] = sum_k w[n,k] * corners[cell_idx[n], k] for a SORTED
+    cell_idx. Same value as the plain gather+einsum; the custom backward
+    replaces the corner-gradient scatter-add (an N-row scatter at TPU
+    scalar rate — ~300 ms at the 2M refine budget) with one [18, N]
+    cumsum + a boundary gather at the F+1 segment bounds, the same
+    prefix-difference reduction the rasterizer backward uses
+    (raster/render.py _blend_bwd_impl)."""
+    return jnp.sum(w[..., None] * corners[cell_idx], axis=1)
+
+
+def _blend_corners_sorted_fwd(w, corners, cell_idx, cell_bounds):
+    means = jnp.sum(w[..., None] * corners[cell_idx], axis=1)
+    return means, (w, corners, cell_idx, cell_bounds)
+
+
+def _blend_corners_sorted_bwd(res, g_means):
+    w, corners, cell_idx, cell_bounds = res
+    f = corners.shape[0]
+    n = w.shape[0]
+    # d w[n, k] = sum_c g[n, c] * corners[cell_idx[n], k, c]
+    corners_n = corners[cell_idx]  # [N, 6, 3] re-gather (cheaper than
+    # saving a 144 MB residual at the 2M budget)
+    d_w = jnp.einsum("nc,nkc->nk", g_means, corners_n)
+    # d corners[f, k, c] = sum over cell-f's contiguous segment of
+    # w[n, k] * g[n, c]: [18, N] products, cumsum along N, prefix
+    # difference at the segment bounds. Lane-major [18, N] keeps the
+    # minor dim un-padded.
+    prod = (
+        w.T[:, None, :] * g_means.T[None, :, :]
+    ).reshape(18, n)  # [6*3, N] with k-major rows (k*3 + c)
+    prefix = jnp.concatenate(
+        [jnp.zeros((18, 1), prod.dtype), jnp.cumsum(prod, axis=1)], axis=1
+    )  # [18, N+1]
+    pb = jnp.take(prefix, cell_bounds, axis=1, mode="clip")  # [18, F+1]
+    d_corners = (pb[:, 1:] - pb[:, :-1]).T.reshape(f, 6, 3)
+    return d_w, d_corners, None, None
+
+
+_blend_corners_sorted.defvjp(
+    _blend_corners_sorted_fwd, _blend_corners_sorted_bwd
+)
+
+
 def gaussian_centers(
-    p: FrostingParams, faces: jnp.ndarray, cell_idx: jnp.ndarray
+    p: FrostingParams,
+    faces: jnp.ndarray,
+    cell_idx: jnp.ndarray,
+    cell_bounds: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """[N, 3] differentiable through bary logits AND the shell."""
-    corners = cell_corners(p, faces)[cell_idx]  # [N, 6, 3]
+    """[N, 3] differentiable through bary logits AND the shell. When
+    cell_bounds is given (cell_idx sorted), the backward uses the
+    prefix-difference segment reduction instead of a scatter-add."""
+    corners = cell_corners(p, faces)  # [F, 6, 3]
     w = jax.nn.softmax(p.bary_logits, axis=-1)
-    return jnp.sum(w[..., None] * corners, axis=1)
+    if cell_bounds is not None:
+        return _blend_corners_sorted(w, corners, cell_idx, cell_bounds)
+    return jnp.sum(w[..., None] * corners[cell_idx], axis=1)
 
 
 def activate_frosting(
@@ -117,7 +175,9 @@ def activate_frosting(
     from frosting_tpu.ops import quat as quat_ops
     from frosting_tpu.scene.gaussians import activate as activate_gs
 
-    means = gaussian_centers(p, meta.faces, meta.cell_idx)
+    means = gaussian_centers(
+        p, meta.faces, meta.cell_idx, meta.cell_bounds
+    )
     scales = jnp.exp(p.scales_log)
     quats = quat_ops.normalize(p.quats_raw)
     opac = jax.nn.sigmoid(p.opacities_raw)
@@ -390,6 +450,14 @@ def init_frosting(
     n = cfg.n_gaussians
     logp = jnp.log(jnp.maximum(volumes / volumes.sum(), 1e-30))
     cell_idx = jax.random.categorical(k1, logp, shape=(n,)).astype(jnp.int32)
+    # SORTED cell assignment (distribution unchanged — every other per-
+    # gaussian quantity is sampled iid afterwards): contiguity lets the
+    # activation backward reduce corner gradients as prefix differences
+    # instead of an N-row scatter-add (see _blend_corners_sorted)
+    cell_idx = jnp.sort(cell_idx)
+    cell_bounds = jnp.searchsorted(
+        cell_idx, jnp.arange(len(faces_j) + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
 
     # random barycentric init: sorted-uniform differences (fm:502-507)
     u = jax.random.uniform(k2, (n, 6))
@@ -451,7 +519,9 @@ def init_frosting(
             gaussians, mask=bg_mask.astype(jnp.float32)
         )
     params = dataclasses.replace(params, bg=bg)
-    return params, FrostingMeta(faces=faces_j, cell_idx=cell_idx)
+    return params, FrostingMeta(
+        faces=faces_j, cell_idx=cell_idx, cell_bounds=cell_bounds
+    )
 
 
 def to_gaussians(p: FrostingParams, meta: FrostingMeta):

@@ -65,6 +65,8 @@ def save_frosting(path: str, params, meta) -> None:
             arrays[f"bg_{f.name}"] = np.asarray(getattr(params.bg, f.name))
     arrays["meta_faces"] = np.asarray(meta.faces)
     arrays["meta_cell_idx"] = np.asarray(meta.cell_idx)
+    if meta.cell_bounds is not None:
+        arrays["meta_cell_bounds"] = np.asarray(meta.cell_bounds)
     np.savez(path, **arrays)
 
 
@@ -97,5 +99,10 @@ def load_frosting(path: str):
     meta = FrostingMeta(
         faces=jnp.asarray(z["meta_faces"]),
         cell_idx=jnp.asarray(z["meta_cell_idx"]),
+        cell_bounds=(
+            jnp.asarray(z["meta_cell_bounds"])
+            if "meta_cell_bounds" in z
+            else None
+        ),
     )
     return params, meta

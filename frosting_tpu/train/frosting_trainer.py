@@ -61,6 +61,13 @@ class FrostingTrainConfig:
     # occlusion culling (refine.py:136): apply every 2nd iteration
     use_occlusion_culling: bool = False
     cull_every: int = 2
+    # derive a smaller-capacity RasterConfig for the culled iterations from
+    # the measured per-camera culled instance counts, so every
+    # capacity-proportional cost (instance buffers, sorts, backward
+    # reduction) shrinks with the visible subset. Ignored when an explicit
+    # rcfg_culled is passed to train().
+    auto_culled_capacity: bool = True
+    culled_capacity_safety: float = 1.4
     log_every: int = 200
 
 
@@ -226,6 +233,46 @@ def precompute_visibility(
     return out
 
 
+def derive_culled_config(
+    params: FrostingParams,
+    meta: FrostingMeta,
+    cameras: List[Camera],
+    vis_masks,
+    rcfg: RasterConfig,
+    safety: float = 1.4,
+    max_probe_cameras: int = 16,
+) -> RasterConfig:
+    """Measure the per-camera CULLED instance count and size a dedicated
+    RasterConfig for the culled iterations (the one-time probes cost a few
+    preprocess passes; the reference's analogous precompute is the
+    per-camera face-set pass, refine.py:413-455). Falls back to rcfg when
+    the measured need isn't meaningfully smaller."""
+    import dataclasses as _dc
+
+    import jax as _jax
+
+    from frosting_tpu.raster.render import (
+        autotune_max_instances,
+        count_instances,
+    )
+
+    @_jax.jit
+    def probe(p, mask, cam):
+        means, scales, quats, opac, sh = activate_frosting(p, meta)
+        return count_instances(
+            means, scales, quats, opac * mask, sh, cam, rcfg
+        )
+
+    stride = max(1, len(cameras) // max_probe_cameras)
+    n_max = 0
+    for i in range(0, len(cameras), stride):
+        n_max = max(n_max, int(probe(params, vis_masks[i], cameras[i])))
+    cap = autotune_max_instances(n_max, rcfg.chunk, safety=safety)
+    if cap >= rcfg.max_instances:
+        return rcfg
+    return _dc.replace(rcfg, max_instances=cap)
+
+
 def train(
     params: FrostingParams,
     meta: FrostingMeta,
@@ -273,6 +320,17 @@ def train(
         vis_masks = jax.device_put(
             jnp.asarray(precompute_visibility(params, meta, cameras, rcfg))
         )
+        if rcfg_culled is None and cfg.auto_culled_capacity:
+            rcfg_culled = derive_culled_config(
+                params, meta, cameras, vis_masks, rcfg,
+                safety=cfg.culled_capacity_safety,
+            )
+            if log_fn and rcfg_culled is not rcfg:
+                log_fn(
+                    f"[frosting] culled instance capacity "
+                    f"{rcfg_culled.max_instances} (full "
+                    f"{rcfg.max_instances})"
+                )
 
     history: List[Dict] = []
     order = rng.permutation(len(cameras))

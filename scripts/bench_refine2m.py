@@ -96,9 +96,15 @@ def main():
         sh_rest=jnp.zeros((n, 15, 3), jnp.float32),
         bg=None,
     )
+    cell_idx = np.sort(rng.integers(0, f, n)).astype(np.int32)
     meta = FrostingMeta(
         faces=jnp.asarray(faces),
-        cell_idx=jnp.asarray(rng.integers(0, f, n), jnp.int32),
+        cell_idx=jnp.asarray(cell_idx),
+        cell_bounds=jnp.asarray(
+            np.searchsorted(cell_idx, np.arange(f + 1), "left").astype(
+                np.int32
+            )
+        ),
     )
 
     w, h = (args.res, args.res) if args.res else (1920, 1080)

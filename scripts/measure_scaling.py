@@ -127,7 +127,7 @@ def fabricate_frosting(n_gauss: int, n_verts: int = 2048):
     return params, meta
 
 
-def memory_columns(n_devices: int, n_gauss: int = 1 << 20) -> dict:
+def memory_columns(n_devices: int, n_gauss: int = 1 << 22) -> dict:
     """Per-chip compiled-memory of the refine step at a 1M-gaussian budget:
     all-gather route vs all_to_all exchange route. XLA's memory_analysis is
     per-device and backend-independent, so the virtual CPU mesh measures
@@ -140,9 +140,12 @@ def memory_columns(n_devices: int, n_gauss: int = 1 << 20) -> dict:
     from frosting_tpu.train import frosting_trainer
 
     n_tile = n_devices
+    # modest instance cap so the O(N)-vs-O(N/n_tile) projected-set term
+    # (the thing gather vs exchange changes) is not buried under cap-sized
+    # binning buffers
     rcfg = RasterConfig(
         width=256, height=256, tile_w=32, tile_h=32, chunk=64,
-        max_instances=1 << 21, backend="jax",
+        max_instances=1 << 20, backend="jax",
     )
     mesh = st.make_mesh(n_data=1, n_tile=n_tile)
     fparams, meta = fabricate_frosting(n_gauss)

@@ -318,3 +318,53 @@ def test_regularize_shell_normal_consistency():
     assert l_b > l_s * 1.5, (l_s, l_b)
     g = np.asarray(jax.grad(lambda o: term(o))(bumpy))
     assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
+def test_sorted_corner_blend_matches_gather():
+    """_blend_corners_sorted (prefix-difference backward) must match the
+    plain gather+einsum path in value AND in gradients wrt bary logits,
+    shell verts, and offsets."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    nv, nf, n = 40, 60, 500
+    verts = rng.normal(size=(nv, 3)).astype(np.float32)
+    faces = rng.integers(0, nv, (nf, 3)).astype(np.int32)
+    cell_idx = np.sort(rng.integers(0, nf, n)).astype(np.int32)
+    bounds = np.searchsorted(cell_idx, np.arange(nf + 1), "left").astype(
+        np.int32
+    )
+    p = frosting_lib.FrostingParams(
+        shell_verts=jnp.asarray(verts),
+        inner_dist=jnp.asarray(-np.abs(rng.normal(0.05, 0.01, nv)), jnp.float32),
+        outer_dist=jnp.asarray(np.abs(rng.normal(0.1, 0.02, nv)), jnp.float32),
+        bary_logits=jnp.asarray(rng.normal(0, 1, (n, 6)), jnp.float32),
+        scales_log=jnp.zeros((n, 3)),
+        quats_raw=jnp.concatenate([jnp.ones((n, 1)), jnp.zeros((n, 3))], 1),
+        opacities_raw=jnp.zeros((n,)),
+        sh_dc=jnp.zeros((n, 1, 3)),
+        sh_rest=jnp.zeros((n, 15, 3)),
+    )
+    fj = jnp.asarray(faces)
+    ci = jnp.asarray(cell_idx)
+    cb = jnp.asarray(bounds)
+    salt = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+
+    def loss(pp, use_bounds):
+        m = frosting_lib.gaussian_centers(
+            pp, fj, ci, cb if use_bounds else None
+        )
+        return jnp.sum(m * salt)
+
+    v0 = float(loss(p, False))
+    v1 = float(loss(p, True))
+    np.testing.assert_allclose(v1, v0, rtol=1e-5)
+    g0 = jax.grad(lambda pp: loss(pp, False))(p)
+    g1 = jax.grad(lambda pp: loss(pp, True))(p)
+    for f in dataclasses.fields(frosting_lib.FrostingParams):
+        if f.name == "bg":
+            continue
+        a, b = np.asarray(getattr(g0, f.name)), np.asarray(getattr(g1, f.name))
+        np.testing.assert_allclose(
+            b, a, rtol=2e-4, atol=2e-5, err_msg=f.name
+        )

@@ -75,10 +75,11 @@ def test_full_pipeline_synthetic(tmp_path):
     hist = out["refine_history"]
     assert all(np.isfinite(h["loss"]) for h in hist)
     final_psnr = hist[-1]["psnr"]
-    # absolute quality is bounded by the deliberately tiny stage-1/2 budgets
-    # (the standalone frosting test from a clean model reaches ~48 dB);
-    # integration bar: clearly reconstructed + refined beyond its start.
-    assert final_psnr > 14.0, final_psnr
+    # measured 37.3 dB at this smoke budget once the saturated-opacity
+    # entropy NaN (which silently culled gaussians) was fixed; the bar sits
+    # with margin below that so real regressions fail loudly while leaving
+    # room for stochastic variation.
+    assert final_psnr > 30.0, final_psnr
     # (relative-improvement quality is asserted in test_frosting.py, where
     # refine starts from a clean model; hist[0] here is already mid-train)
 
