@@ -363,7 +363,7 @@ def _reconstruct_half(pts, nrm, cfg: ShellConfig, verbose, tag):
     verts, faces = meshclean.remove_unsupported_vertices(
         verts, faces, pts_f, cfg.cleaning_quantile
     )
-    return verts, faces
+    return verts, faces, res
 
 
 def extract_shell(
@@ -469,6 +469,9 @@ def _mesh_from_point_cloud(
         ]
     else:
         raw_halves = [_reconstruct_half(pts, nrm, cfg, verbose, "all")]
+        raw_halves = [h for h in raw_halves if h is not None]
+    poisson_res = [r for _v, _f, r in raw_halves]
+    raw_halves = [(v, f) for v, f, _r in raw_halves]
 
     def finalize(target):
         """Decimate the shared Poisson halves to one budget and run the
@@ -494,6 +497,7 @@ def _mesh_from_point_cloud(
         "surface_points": pts,
         "surface_normals": nrm,
         "inner_points": inner,
+        "poisson_resolutions": poisson_res,
     }
     # second budget from the same reconstruction (coarse_shell.py:105-108
     # emits both the 1M high-poly and 200k low-poly meshes per run)

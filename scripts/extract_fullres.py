@@ -78,13 +78,14 @@ def main():
         max_instances=1 << 21, backend="auto",
     )
     cfg = ShellConfig(
-        poisson_resolution=0,  # auto depth heuristic
+        poisson_resolution=0,  # auto depth heuristic (up to 512^3)
         target_vertices=args.target_vertices,
+        target_vertices_low=200_000,  # reference emits BOTH budgets
         cleaning_quantile=0.1,
         fg_split=True,
     )
     t0 = time.time()
-    verts, faces, _aux = extract_shell(
+    verts, faces, aux = extract_shell(
         means, scales, quats, opac, cams, rcfg, cfg, verbose=True
     )
     dt = time.time() - t0
@@ -94,13 +95,18 @@ def main():
         {"x": v[:, 0], "y": v[:, 1], "z": v[:, 2]},
         faces=np.asarray(faces, np.int32),
     )
+    lv, lf = aux.get("low_poly", (verts, faces))
     out = {
         "n_gaussians": args.n,
         "n_cams": args.n_cams,
         "resolution": args.res,
+        "poisson_resolutions": aux.get("poisson_resolutions", []),
         "target_vertices": args.target_vertices,
         "mesh_vertices": int(len(verts)),
         "mesh_faces": int(len(faces)),
+        "low_poly_target": 200_000,
+        "low_poly_vertices": int(len(lv)),
+        "low_poly_faces": int(len(lf)),
         "wall_clock_s": round(dt, 1),
     }
     with open("EXTRACT_BENCH.json", "w") as f:
