@@ -76,6 +76,14 @@ class RasterConfig:
     backend: str = "auto"
     # Run Pallas kernels in interpreter mode (CPU testing of the TPU path).
     pallas_interpret: bool = False
+    # Pack the backward reduction's 9 gradient rows as bf16 PAIRS in
+    # uint32 payloads, shrinking the two payload-carrying sorts from 10 to
+    # 6 operands (sorts cost per operand-row; ~0.2 ms per operand per
+    # million rows on this runtime). The per-INSTANCE gradient rows are
+    # quantized to bf16 before the per-gaussian f32 segment sum — ~3
+    # decimal digits per instance. Off by default; opt in for large-cap
+    # training steps where the sorts dominate (1080p @ 2M+ instances).
+    bwd_sort_bf16: bool = False
 
     def __post_init__(self):
         if self.max_instances % self.chunk != 0:

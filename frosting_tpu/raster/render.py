@@ -65,6 +65,55 @@ def _blend_impl(padded, binned: Binned, cfg: RasterConfig):
     return blend_jax.blend_forward_jax(padded, binned, cfg)
 
 
+def _pack_bf16_pairs(cols):
+    """Pack a list of equal-shape f32 arrays into ceil(len/2) uint32 arrays,
+    each lane holding two bf16 values (hi = even index, lo = odd). Used to
+    shrink payload-carrying sorts (cost ~0.2 ms per operand per million
+    rows): 9 gradient rows -> 5 packed rows. Quantizes to bf16."""
+    if len(cols) % 2:
+        cols = list(cols) + [jnp.zeros_like(cols[0])]
+    out = []
+    for a, b in zip(cols[0::2], cols[1::2]):
+        ua = jax.lax.bitcast_convert_type(
+            a.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        ub = jax.lax.bitcast_convert_type(
+            b.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        out.append((ua << 16) | ub)
+    return out
+
+
+def _unpack_bf16_pairs(packed, n_cols):
+    """Inverse of _pack_bf16_pairs -> list of n_cols f32 arrays."""
+    cols = []
+    for p in packed:
+        hi = (p >> 16).astype(jnp.uint16)
+        lo = (p & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        cols.append(
+            jax.lax.bitcast_convert_type(hi, jnp.bfloat16).astype(
+                jnp.float32
+            )
+        )
+        cols.append(
+            jax.lax.bitcast_convert_type(lo, jnp.bfloat16).astype(
+                jnp.float32
+            )
+        )
+    return cols[:n_cols]
+
+
+def _sorted_payload(key, cols, packed: bool):
+    """lax.sort `cols` by `key`, optionally bf16-pair-packed (6 operands
+    instead of 10 for 9 f32 payload rows). Returns sorted cols (f32)."""
+    if not packed:
+        ops = jax.lax.sort((key,) + tuple(cols), num_keys=1, is_stable=False)
+        return list(ops[1:])
+    pk = _pack_bf16_pairs(cols)
+    ops = jax.lax.sort((key,) + tuple(pk), num_keys=1, is_stable=False)
+    return _unpack_bf16_pairs(ops[1:], len(cols))
+
+
 def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
     # Per-gaussian reduction WITHOUT a scatter-add: segment_sum lowers to
     # an XLA scatter that costs more than the entire blend on TPU (~17 ms
@@ -86,14 +135,14 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
         )  # [n_blocks, 9, K]
         u = INSTANCE_FIELDS_USED
         grads_t = grads3.swapaxes(0, 1).reshape(u, cfg.padded_rows)
-        sorted_ops = jax.lax.sort(
-            (binned.orig_s,) + tuple(grads_t[j] for j in range(u)),
-            num_keys=1,
-            is_stable=False,
+        sorted_cols = _sorted_payload(
+            binned.orig_s,
+            [grads_t[j] for j in range(u)],
+            cfg.bwd_sort_bf16,
         )
         cap = cfg.max_instances
         grads_orig_t = jnp.stack(
-            [row[:cap] for row in sorted_ops[1:]]
+            [row[:cap] for row in sorted_cols]
         )  # [9, cap]
         prefix_t = jnp.concatenate(
             [
@@ -107,7 +156,9 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
         pb = jnp.take(prefix_t, b, axis=1, mode="clip")  # [9, N+1]
         rows_s = pb[:, 1:] - pb[:, :-1]  # [9, N], DEPTH-SORTED gaussians
         # un-permute to original gaussian order — again a payload sort
-        # (keyed on the original id each sorted position carries)
+        # (keyed on the original id each sorted position carries). NOTE:
+        # this one stays f32 even under bwd_sort_bf16 — its rows are the
+        # per-GAUSSIAN sums, where quantization would compound.
         unperm = jax.lax.sort(
             (binned.gauss_sorted,) + tuple(rows_s[j] for j in range(u)),
             num_keys=1,
@@ -119,14 +170,13 @@ def _blend_bwd_impl(padded, binned: Binned, out, g_out, n_ext, cfg):
             padded, binned, out, g_out, cfg
         )
         w = grads_inst.shape[1]
-        sorted_ops = jax.lax.sort(
-            (binned.orig_s,)
-            + tuple(grads_inst[:, j] for j in range(w)),
-            num_keys=1,
-            is_stable=False,
+        sorted_cols = _sorted_payload(
+            binned.orig_s,
+            [grads_inst[:, j] for j in range(w)],
+            cfg.bwd_sort_bf16,
         )
         grads_orig = jnp.stack(
-            [row[: cfg.max_instances] for row in sorted_ops[1:]], axis=1
+            [row[: cfg.max_instances] for row in sorted_cols], axis=1
         )  # [cap, W]
         prefix = jnp.concatenate(
             [

@@ -74,3 +74,26 @@ def test_tiles_per_program_parity():
             np.asarray(out.image), np.asarray(out_ref.image),
             atol=1e-5, rtol=1e-5, err_msg=f"tpp={tpp}",
         )
+
+
+def test_pallas_bwd_sort_bf16_grads_close():
+    """The pallas-branch bf16-packed payload sort (render.py::
+    _sorted_payload) must produce near-identical per-gaussian gradients to
+    the exact f32 sort (interpret mode exercises the same reduction code
+    the TPU path runs)."""
+    gs = make_scene(n=250, seed=11)
+    cfg16 = dataclasses.replace(CFG_PALLAS, bwd_sort_bf16=True)
+
+    def loss(cfg):
+        def f(*g):
+            out = render(*g, CAM, cfg, bg=BG)
+            return jnp.mean(out.image ** 2)
+
+        return f
+
+    g32 = jax.grad(loss(CFG_PALLAS), argnums=(0, 3))(*gs)
+    g16 = jax.grad(loss(cfg16), argnums=(0, 3))(*gs)
+    for a, b in zip(g32, g16):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.9999, cos

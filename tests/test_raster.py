@@ -181,3 +181,31 @@ def test_opacity_aware_rect_shrink_is_exact():
     np.testing.assert_allclose(
         np.asarray(out.image), np.asarray(img_rect), atol=2e-5, rtol=1e-4
     )
+
+
+def test_bwd_sort_bf16_grads_close():
+    """bwd_sort_bf16 packs per-INSTANCE gradient rows as bf16 pairs before
+    the payload sort (render.py::_pack_bf16_pairs). Quantization is per
+    instance, pre segment-sum, so gradients must stay close (direction
+    preserved, relative error ~bf16 epsilon-scale) to the exact f32 path."""
+    gs = make_scene(n=200, seed=3)
+    target = jnp.asarray(
+        np.random.default_rng(9).uniform(size=(3, 64, 64)), jnp.float32
+    )
+    cfg16 = dataclasses.replace(CFG, bwd_sort_bf16=True)
+
+    def loss(cfg):
+        def f(means, scales, quats, opac, sh):
+            out = render(means, scales, quats, opac, sh, CAM, cfg, bg=BG)
+            return jnp.mean((out.image - target) ** 2)
+
+        return f
+
+    g32 = jax.grad(loss(CFG), argnums=(0, 3))(*gs)
+    g16 = jax.grad(loss(cfg16), argnums=(0, 3))(*gs)
+    for a, b in zip(g32, g16):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.9999, cos
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
