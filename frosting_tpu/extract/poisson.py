@@ -64,36 +64,55 @@ import functools
 @functools.partial(jax.jit, static_argnames=("n",))
 def _poisson_grid(points01, normals, n: int):
     # Memory shape: the naive form materializes an [n,n,n,3] vector field
-    # (1.5 GB f32 at 512^3) before taking its divergence. Instead each
-    # component is splatted into its own [n,n,n] grid and its directional
-    # central difference accumulated into div immediately, so the peak is
-    # 2 grids; the spectral solve uses rfftn (half-spectrum) for the same
-    # reason. Together this makes 512^3 (the reference's depth-9/10 range,
-    # coarse_shell.py:80) practical on one chip.
-    def ddx(a, axis):
-        return (jnp.roll(a, -1, axis) - jnp.roll(a, 1, axis)) * 0.5
-
-    # V = -n (indicator falls from 1 inside to 0 outside along the normal)
-    div = jnp.zeros((n, n, n), jnp.float32)
-    for c in range(3):
-        comp = jnp.zeros((n, n, n, 1), jnp.float32)
-        comp = _trilinear_scatter(comp, points01, -normals[:, c : c + 1], n)
-        div = div + ddx(comp[..., 0], c)
-
-    # spectral inverse Laplacian (periodic; the padded bbox isolates the
-    # object from wrap-around)
+    # (1.5 GB f32 at 512^3) before taking its divergence, and a grid-sized
+    # jnp.roll for the central difference lowered to a concat temp whose
+    # minor-dim padding cost 32x (16 GB at 512^3 — OOM'd a v5e chip). The
+    # divergence is instead taken SPECTRALLY: each normal component is
+    # splatted into its own [n,n,n] grid, rfftn'd, and accumulated with the
+    # i*sin(k_c) factor — the exact Fourier symbol of the central
+    # difference, consistent with the 2(cos k - 1) Laplacian eigenvalues
+    # below. Peak memory is one real grid + two half-spectra (~1.6 GB at
+    # 512^3), which makes the reference's depth-9/10 range
+    # (coarse_shell.py:80) practical on one chip.
     k = jnp.fft.fftfreq(n) * 2.0 * jnp.pi
     kr = jnp.fft.rfftfreq(n) * 2.0 * jnp.pi
-    kx, ky, kz = jnp.meshgrid(k, k, kr, indexing="ij")
-    # eigenvalues of the central-difference Laplacian: 2(cos k - 1) per axis
-    lam = 2.0 * (jnp.cos(kx) + jnp.cos(ky) + jnp.cos(kz) - 3.0)
+    nr = kr.shape[0]
+
+    div_hat = jnp.zeros((n, n, nr), jnp.complex64)
+    for c in range(3):
+        comp = jnp.zeros((n, n, n), jnp.float32)
+        comp = _trilinear_scatter(
+            comp[..., None], points01, -normals[:, c : c + 1], n
+        )[..., 0]
+        kc = (kr if c == 2 else k).reshape(
+            [-1 if a == c else 1 for a in range(3)]
+        )
+        div_hat = div_hat + (1j * jnp.sin(kc)) * jnp.fft.rfftn(comp)
+
+    # eigenvalues of the central-difference Laplacian: 2(cos k - 1) per
+    # axis, built by broadcasting 1-D factors (a meshgrid materializes
+    # three [n, n, n/2+1] arrays — ~1 GB of dead weight at 512^3)
+    lam = 2.0 * (
+        jnp.cos(k)[:, None, None]
+        + jnp.cos(k)[None, :, None]
+        + jnp.cos(kr)[None, None, :]
+        - 3.0
+    )
     lam = jnp.where(lam == 0.0, 1.0, lam)
-    chi_hat = jnp.fft.rfftn(div) / lam
+    chi_hat = div_hat / lam
     chi_hat = chi_hat.at[0, 0, 0].set(0.0)
     chi = jnp.fft.irfftn(chi_hat, s=(n, n, n)).astype(jnp.float32)
 
     iso = jnp.mean(_trilinear_sample(chi, points01, n))
     return chi, iso
+
+
+# Grid sizes >= this run the solve on the HOST CPU backend: the XLA-TPU
+# FFT lowering of a 512-length axis materializes a f32[512,512,128,4]
+# temp whose minor-dim tile padding costs 32x (16 GB — past one v5e's
+# HBM), while the host solve at 512^3 is ~1.5 GB and extraction is a
+# host-orchestrated offline stage anyway (marching tets runs on host).
+FFT_CPU_THRESHOLD = 512
 
 
 def poisson_reconstruct(
@@ -112,11 +131,20 @@ def poisson_reconstruct(
     hi_p = lo + (span * (1 + 2 * pad))
     points01 = (points - lo) / (hi_p - lo)
 
-    chi, iso = _poisson_grid(
-        jnp.asarray(points01, jnp.float32),
-        jnp.asarray(normals, jnp.float32),
-        resolution,
-    )
+    if resolution >= FFT_CPU_THRESHOLD:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            chi, iso = _poisson_grid(
+                jax.device_put(np.asarray(points01, np.float32), cpu),
+                jax.device_put(np.asarray(normals, np.float32), cpu),
+                resolution,
+            )
+    else:
+        chi, iso = _poisson_grid(
+            jnp.asarray(points01, jnp.float32),
+            jnp.asarray(normals, jnp.float32),
+            resolution,
+        )
     chi = np.asarray(chi)
     iso = float(iso)
     spacing = (hi_p - lo) / (resolution - 1)

@@ -273,62 +273,77 @@ def bin_gaussians(
     inst = jnp.arange(cap, dtype=i32)
     inst_valid = inst < total
 
-    # --- packed decode channels. Static bit budgets decide the packing;
-    # every field is nonnegative and bounded, so packed channels stay
-    # below 2^31. Worst case (huge caps/scenes) falls back to separate
-    # channels automatically.
-    bits_cap = max(int(cap).bit_length(), 1)
-    bits_n = max(int(n).bit_length(), 1)
-    bits_t = max(int(cfg.n_tiles).bit_length(), 1)
-    bits_w = max(int(cfg.tiles_x).bit_length(), 1)  # rect width <= tiles_x
+    if cfg.decode == "gather":
+        # --- searchsorted + ONE lane gather. inst -> owning depth-rank via
+        # a capacity-bounded binary search over the inclusive cumulative
+        # counts (log2(N) passes, ~0.05 ms at 1M cap), then every
+        # per-gaussian channel comes from a single [4, N] LANE-layout
+        # gather (~1 ns/index at <=8 sublane rows — the row gathers that
+        # justified the round-3 scatter design ran ~7 ns/row; lane
+        # gathers were only introduced with the round-3 field packing and
+        # never re-measured for the decode until round 4).
+        seg = jnp.searchsorted(cum, inst, side="right").astype(i32)
+        table = jnp.stack(
+            [gauss_sorted, offs, jnp.maximum(w_s, 1), base_s]
+        )  # [4, N]
+        dec = jnp.take(table, jnp.minimum(seg, n - 1), axis=1, mode="clip")
+        gauss_c, i_off, i_w, i_base = dec[0], dec[1], dec[2], dec[3]
+    else:
+        # --- packed diff-scatter decode channels (round-3 design, kept
+        # for A/B). Static bit budgets decide the packing; every field is
+        # nonnegative and bounded, so packed channels stay below 2^31.
+        bits_cap = max(int(cap).bit_length(), 1)
+        bits_n = max(int(n).bit_length(), 1)
+        bits_t = max(int(cfg.n_tiles).bit_length(), 1)
+        bits_w = max(int(cfg.tiles_x).bit_length(), 1)  # width <= tiles_x
 
-    # EVERY per-instance channel is its own diff-scatter run-length decode
-    # (telescoping diffs at run starts; bit-packing multiple fields into
-    # one channel is exact because the decode is linear: every PARTIAL SUM
-    # of the delta stream is an actual packed value). The scatters share
-    # one batched [S, cap] cumsum along axis 1 (a 1-D cap-sized cumsum
-    # costs ~0.9 ms alone; the 2-D batched form amortizes across
-    # channels). Gathers keyed by a decoded gaussian id were measured at
-    # SCALAR rate (~7 ns/row — 2x the cost of a decode) even with monotone
-    # indices, so the gather formulation lost ~3.5 ms/step.
-    streams = []
-    pack_gw = bits_n + bits_w <= 31  # gauss_orig | w
-    pack_ob = bits_cap + bits_t <= 31  # offs | base
-    streams.append(gauss_sorted * (1 << bits_w) + w_s if pack_gw else gauss_sorted)
-    if not pack_gw:
-        streams.append(w_s)
-    streams.append(offs * (1 << bits_t) + base_s if pack_ob else offs)
-    if not pack_ob:
-        streams.append(base_s)
-    # one 1-D scatter per channel (a batched [S, cap] scatter measured
-    # 14.6 ns/value vs 8.7 for separate 1-D scatters — TPU scatters cost
-    # per-value and the 2-D form adds index-arithmetic overhead).
-    delta = jnp.stack(
-        [
-            jnp.zeros((cap,), i32)
-            .at[0]
-            .add(v[0])
-            .at[offs[1:]]
-            .add(jnp.diff(v), mode="drop")
-            for v in streams
-        ]
-    )
-    dec = jnp.cumsum(delta, axis=1)  # [S, cap]
-    s = 0
-    if pack_gw:
-        gauss_c = dec[s] >> bits_w
-        i_w = jnp.maximum(dec[s] & ((1 << bits_w) - 1), 1)
-        s += 1
-    else:
-        gauss_c = dec[s]
-        i_w = jnp.maximum(dec[s + 1], 1)
-        s += 2
-    if pack_ob:
-        i_off = dec[s] >> bits_t
-        i_base = dec[s] & ((1 << bits_t) - 1)
-    else:
-        i_off = dec[s]
-        i_base = dec[s + 1]
+        # EVERY per-instance channel is its own diff-scatter run-length
+        # decode (telescoping diffs at run starts; bit-packing multiple
+        # fields into one channel is exact because the decode is linear:
+        # every PARTIAL SUM of the delta stream is an actual packed
+        # value). The scatters share one batched [S, cap] cumsum along
+        # axis 1 (a 1-D cap-sized cumsum costs ~0.9 ms alone; the 2-D
+        # batched form amortizes across channels).
+        streams = []
+        pack_gw = bits_n + bits_w <= 31  # gauss_orig | w
+        pack_ob = bits_cap + bits_t <= 31  # offs | base
+        streams.append(
+            gauss_sorted * (1 << bits_w) + w_s if pack_gw else gauss_sorted
+        )
+        if not pack_gw:
+            streams.append(w_s)
+        streams.append(offs * (1 << bits_t) + base_s if pack_ob else offs)
+        if not pack_ob:
+            streams.append(base_s)
+        # one 1-D scatter per channel (a batched [S, cap] scatter measured
+        # 14.6 ns/value vs 8.7 for separate 1-D scatters — TPU scatters
+        # cost per-value and the 2-D form adds index-arithmetic overhead).
+        delta = jnp.stack(
+            [
+                jnp.zeros((cap,), i32)
+                .at[0]
+                .add(v[0])
+                .at[offs[1:]]
+                .add(jnp.diff(v), mode="drop")
+                for v in streams
+            ]
+        )
+        dec = jnp.cumsum(delta, axis=1)  # [S, cap]
+        s = 0
+        if pack_gw:
+            gauss_c = dec[s] >> bits_w
+            i_w = jnp.maximum(dec[s] & ((1 << bits_w) - 1), 1)
+            s += 1
+        else:
+            gauss_c = dec[s]
+            i_w = jnp.maximum(dec[s + 1], 1)
+            s += 2
+        if pack_ob:
+            i_off = dec[s] >> bits_t
+            i_base = dec[s] & ((1 << bits_t) - 1)
+        else:
+            i_off = dec[s]
+            i_base = dec[s + 1]
 
     i_rank = inst - i_off
     # small-int div via f32 (exact for values < 2^24)

@@ -76,6 +76,13 @@ class RasterConfig:
     backend: str = "auto"
     # Run Pallas kernels in interpreter mode (CPU testing of the TPU path).
     pallas_interpret: bool = False
+    # Instance-expansion decode strategy. "gather": capacity-bounded
+    # searchsorted into the depth-sorted cumulative counts + ONE 4-row
+    # LANE gather of the per-gaussian table ([4, N] along lanes — ~3x
+    # faster per index than the row gathers that justified the original
+    # scatter design). "scatter": telescoping diff-scatter + batched
+    # cap-sized cumsum (round-3 design; kept for A/B and as fallback).
+    decode: str = "gather"
     # Pack the backward reduction's 9 gradient rows as bf16 PAIRS in
     # uint32 payloads, shrinking the two payload-carrying sorts from 10 to
     # 6 operands (sorts cost per operand-row; ~0.2 ms per operand per

@@ -104,8 +104,8 @@ def main():
             def f(g, salt, i):
                 p = pre(g, salt, i)
                 b = bin_gaussians(p.rect, p.depths, p.valid, cfg)
-                fe = pack_fields(p)
-                padded = jnp.take(fe, b.padded_gauss, axis=0)
+                fe = pack_fields(p)  # [W, N+1] lane-compact
+                padded = jnp.take(fe.T, b.padded_gauss, axis=0)
                 p3 = blend_pallas.to_block_layout(padded, cfg)
                 return jnp.sum(p3[:, 0, 0]) * 1e-9
         elif name == "fwd":
