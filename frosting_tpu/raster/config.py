@@ -76,13 +76,14 @@ class RasterConfig:
     backend: str = "auto"
     # Run Pallas kernels in interpreter mode (CPU testing of the TPU path).
     pallas_interpret: bool = False
-    # Instance-expansion decode strategy. "gather": capacity-bounded
-    # searchsorted into the depth-sorted cumulative counts + ONE 4-row
-    # LANE gather of the per-gaussian table ([4, N] along lanes — ~3x
-    # faster per index than the row gathers that justified the original
-    # scatter design). "scatter": telescoping diff-scatter + batched
-    # cap-sized cumsum (round-3 design; kept for A/B and as fallback).
-    decode: str = "gather"
+    # Instance-expansion decode strategy. "scatter" (default):
+    # telescoping diff-scatter + batched cap-sized cumsum. "gather":
+    # capacity-bounded searchsorted + one [4, N] lane gather — looked
+    # promising from micro-probes (lane gathers run ~1 ns/index vs ~7 for
+    # row gathers) but measured 67 ms vs 17.8 ms per step end-to-end on
+    # the real chip (scripts/perf_ab_r4.py): the cap-sized searchsorted
+    # lowering dominates. Kept for A/B reproducibility; do not default.
+    decode: str = "scatter"
     # Pack the backward reduction's 9 gradient rows as bf16 PAIRS in
     # uint32 payloads, shrinking the two payload-carrying sorts from 10 to
     # 6 operands (sorts cost per operand-row; ~0.2 ms per operand per

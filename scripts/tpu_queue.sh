@@ -37,13 +37,19 @@ run() {
   echo "[queue] $name exit=$rc"
 }
 
-# 1. flagship bench (the driver-visible number)
-run bench timeout 3000 python bench.py
-# 2. occlusion-culled 2M refine step (BASELINE config 4) -> REFINE2M.json
-run refine2m timeout 5400 python scripts/bench_refine2m.py
-# 3. 1080p @ 1M production-scale raster -> BENCH_1080P.json
-run bench1080 timeout 3000 python scripts/bench_1080p.py
-# 4. Shelly-style object pipeline at full budgets (BASELINE config 3)
-#    -> SHELLY_BENCH.json (longest: full 5-stage pipeline)
+# 1. Shelly-style object pipeline at full budgets (BASELINE config 3)
+#    -> SHELLY_BENCH.json (longest: full 5-stage pipeline; FIRST because
+#    it is the gating artifact)
 run shelly timeout 14000 python scripts/benchmark_shelly.py
-echo "[queue] all done; artifacts: REFINE2M.json BENCH_1080P.json SHELLY_BENCH.json + $LOG/bench.log"
+# 2. flagship bench (the driver-visible number)
+run bench timeout 3000 python bench.py
+# 3. occlusion-culled 2M refine step (BASELINE config 4) -> REFINE2M.json
+run refine2m timeout 5400 python scripts/bench_refine2m.py
+# 4. 1080p @ 1M production-scale raster -> BENCH_1080P.json
+run bench1080 timeout 3000 python scripts/bench_1080p.py
+# 5. full 3DGS 7k recipe, SOLO wall-clock -> PSNR_BENCH.json
+run psnr timeout 5400 python scripts/benchmark_psnr.py
+# 6. full-res extraction (auto Poisson depth -> 512^3 on host FFT)
+#    -> EXTRACT_BENCH.json
+run extract timeout 7200 python scripts/extract_fullres.py
+echo "[queue] all done; artifacts: SHELLY_BENCH.json REFINE2M.json BENCH_1080P.json PSNR_BENCH.json EXTRACT_BENCH.json + $LOG/bench.log"
