@@ -106,6 +106,23 @@ def cell_corners(p: FrostingParams, faces: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([tri_in, tri_out], axis=1)
 
 
+def _corner_blend_lanes(w, corners, cell_idx):
+    """means [N, 3] = sum_k w[n,k] * corners[cell_idx[n], k] computed in
+    LANE-major form: the corner table is transposed to [18, F] and
+    gathered along lanes at cell_idx (a [N]-row gather of 18-value rows
+    runs at TPU scalar rate ~7 ns/row — ~28 ms per pass at the 2M refine
+    budget; the lane-layout gather of the same data is several times
+    cheaper, scripts/perf_take_probe.py)."""
+    f = corners.shape[0]
+    ct = corners.reshape(f, 18).T  # [18, F], rows k*3+c
+    g18 = jnp.take(ct, cell_idx, axis=1, mode="clip")  # [18, N]
+    w_t = w.T  # [6, N]
+    means_t = [
+        sum(w_t[k] * g18[3 * k + c] for k in range(6)) for c in range(3)
+    ]
+    return jnp.stack(means_t, axis=-1), g18, w_t
+
+
 @jax.custom_vjp
 def _blend_corners_sorted(w, corners, cell_idx, cell_bounds):
     """means[n] = sum_k w[n,k] * corners[cell_idx[n], k] for a SORTED
@@ -115,11 +132,11 @@ def _blend_corners_sorted(w, corners, cell_idx, cell_bounds):
     cumsum + a boundary gather at the F+1 segment bounds, the same
     prefix-difference reduction the rasterizer backward uses
     (raster/render.py _blend_bwd_impl)."""
-    return jnp.sum(w[..., None] * corners[cell_idx], axis=1)
+    return _corner_blend_lanes(w, corners, cell_idx)[0]
 
 
 def _blend_corners_sorted_fwd(w, corners, cell_idx, cell_bounds):
-    means = jnp.sum(w[..., None] * corners[cell_idx], axis=1)
+    means, _g18, _wt = _corner_blend_lanes(w, corners, cell_idx)
     return means, (w, corners, cell_idx, cell_bounds)
 
 
@@ -127,10 +144,17 @@ def _blend_corners_sorted_bwd(res, g_means):
     w, corners, cell_idx, cell_bounds = res
     f = corners.shape[0]
     n = w.shape[0]
-    # d w[n, k] = sum_c g[n, c] * corners[cell_idx[n], k, c]
-    corners_n = corners[cell_idx]  # [N, 6, 3] re-gather (cheaper than
-    # saving a 144 MB residual at the 2M budget)
-    d_w = jnp.einsum("nc,nkc->nk", g_means, corners_n)
+    # d w[n, k] = sum_c g[n, c] * corners[cell_idx[n], k, c] — lane-major
+    # re-gather (cheaper than saving a 144 MB residual at the 2M budget)
+    _means, g18, _wt = _corner_blend_lanes(w, corners, cell_idx)
+    gm_t = g_means.T  # [3, N]
+    d_w = jnp.stack(
+        [
+            sum(gm_t[c] * g18[3 * k + c] for c in range(3))
+            for k in range(6)
+        ],
+        axis=-1,
+    )  # [N, 6]
     # d corners[f, k, c] = sum over cell-f's contiguous segment of
     # w[n, k] * g[n, c]: [18, N] products, cumsum along N, prefix
     # difference at the segment bounds. Lane-major [18, N] keeps the
