@@ -50,4 +50,6 @@ def test_pipeline_mc_floor():
     d = _load("PIPELINE_MC.json")
     psnr = d.get("eval_psnr") or d.get("final_psnr")
     assert psnr is not None, d
-    assert psnr >= 22.0, psnr
+    # 36.4 dB measured after the entropy-NaN fix (round 4); floor set
+    # with margin so sharded-path regressions still fail loudly
+    assert psnr >= 30.0, psnr
