@@ -39,15 +39,38 @@ def neighbor_opacities(
     density_factor: float = 1.0,
 ) -> jnp.ndarray:
     """[M, K] per-neighbor un-normalized opacity contributions
-    (sugar_model.py:1305-1309)."""
-    mu = centers[knn_idx]  # [M, K, 3]
-    shift = x[:, None, :] - mu
-    R = quat_ops.to_matrix(quats[knn_idx])  # [M, K, 3, 3]
-    inv_s = 1.0 / jnp.maximum(scales[knn_idx], 1e-12)
-    # warped = diag(1/s) R^T shift
-    warped = inv_s * jnp.einsum("mkab,mkb->mka", jnp.swapaxes(R, -1, -2), shift)
-    maha = jnp.clip(jnp.sum(warped * warped, axis=-1), 0.0, 1e8)
-    return density_factor * strengths[knn_idx] * jnp.exp(-0.5 * maha)
+    (sugar_model.py:1305-1309).
+
+    Fully UNROLLED component math: the naive form builds [M, K, 3] /
+    [M, K, 3, 3] intermediates whose trailing dims tile-pad up to 42x on
+    TPU — a 4.2M x 16 eager evaluation (frosting init at the 200k-vertex
+    reference mesh budget) tried to materialize a 34 GB gather output and
+    OOM'd the chip. Component form keeps every array [M, K] (8x lane pad
+    worst case) and fuses cleanly under jit."""
+    g = lambda t: jnp.take(t, knn_idx, axis=0)  # [M, K] per component
+    sh0 = x[:, 0:1] - g(centers[:, 0])
+    sh1 = x[:, 1:2] - g(centers[:, 1])
+    sh2 = x[:, 2:3] - g(centers[:, 2])
+    w, qx, qy, qz = (g(quats[:, i]) for i in range(4))
+    # columns of R (= rows of R^T), forward.cu:133-138 convention
+    r00 = 1.0 - 2.0 * (qy * qy + qz * qz)
+    r01 = 2.0 * (qx * qy - w * qz)
+    r02 = 2.0 * (qx * qz + w * qy)
+    r10 = 2.0 * (qx * qy + w * qz)
+    r11 = 1.0 - 2.0 * (qx * qx + qz * qz)
+    r12 = 2.0 * (qy * qz - w * qx)
+    r20 = 2.0 * (qx * qz - w * qy)
+    r21 = 2.0 * (qy * qz + w * qx)
+    r22 = 1.0 - 2.0 * (qx * qx + qy * qy)
+    inv0 = 1.0 / jnp.maximum(g(scales[:, 0]), 1e-12)
+    inv1 = 1.0 / jnp.maximum(g(scales[:, 1]), 1e-12)
+    inv2 = 1.0 / jnp.maximum(g(scales[:, 2]), 1e-12)
+    # warped_a = (R^T shift)_a / s_a = (R[., a] . shift) / s_a
+    w0 = (r00 * sh0 + r10 * sh1 + r20 * sh2) * inv0
+    w1 = (r01 * sh0 + r11 * sh1 + r21 * sh2) * inv1
+    w2 = (r02 * sh0 + r12 * sh1 + r22 * sh2) * inv2
+    maha = jnp.clip(w0 * w0 + w1 * w1 + w2 * w2, 0.0, 1e8)
+    return density_factor * g(strengths) * jnp.exp(-0.5 * maha)
 
 
 def field_values(
@@ -102,6 +125,44 @@ def field_values(
         beta=beta,
         sdf=sdf,
     )
+
+
+def field_values_blocked(
+    x: jnp.ndarray,
+    knn_idx: jnp.ndarray,
+    centers: jnp.ndarray,
+    strengths: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    block: int = 1 << 19,
+    **kw,
+) -> FieldValues:
+    """field_values over fixed-size JITTED blocks: eager evaluation at
+    multi-million-point budgets materializes every [M, K] intermediate on
+    device (~0.5 GB each at 4M x 16 after lane padding); blocking bounds
+    the working set and jit fuses each block into a handful of buffers.
+    One compile (static block size; the tail block is padded)."""
+    import functools
+
+    m = x.shape[0]
+    if m <= block:
+        return field_values(
+            x, knn_idx, centers, strengths, scales, quats, **kw
+        )
+    f = jax.jit(functools.partial(field_values, **kw))
+    outs = []
+    for i in range(0, m, block):
+        xb = x[i : i + block]
+        kb = knn_idx[i : i + block]
+        pad = block - xb.shape[0]
+        if pad:
+            xb = jnp.concatenate([xb, jnp.zeros((pad, 3), xb.dtype)])
+            kb = jnp.concatenate(
+                [kb, jnp.zeros((pad, kb.shape[1]), kb.dtype)]
+            )
+        outs.append(f(xb, kb, centers, strengths, scales, quats))
+    full = jax.tree.map(lambda *t: jnp.concatenate(t), *outs)
+    return jax.tree.map(lambda t: t[:m], full)
 
 
 def sample_points_in_gaussians(

@@ -236,7 +236,9 @@ def level_dists_along_normals(
     pts = shell_verts[:, None, :] + normals[:, None, :] * offsets[..., None]
     flat = pts.reshape(-1, 3)
     knn_idx, _ = knn_lib.knn_query(flat, g_means, k=cfg.knn_k)
-    dens = fields.field_values(
+    # blocked + jitted: V*S reaches ~4.2M at the reference 200k-vertex /
+    # 21-sample budget — eager per-op evaluation OOMs (see fields.py)
+    dens = fields.field_values_blocked(
         flat, knn_idx, g_means, g_opac, g_scales, g_quats,
         beta_mode="average",
     ).density.reshape(v, s)
