@@ -44,7 +44,9 @@ def main():
         jnp.asarray(a, jnp.float32) for a in (means, scales, quats, opac, sh)
     )
     cam = look_at_camera(eye=[0.0, 0.0, -3.0], target=[0.0, 0.0, 0.0])
-    iters = 10
+    # 50 in-loop iters: the ~32 ms fixed dispatch cost (PERF_NOTES round-3
+    # floor correction) biases 10-iter runs by +3.2 ms/iter
+    iters = 50
 
     probe_cfg = RasterConfig(
         width=512, height=512, chunk=128, max_instances=1 << 21,
