@@ -97,6 +97,9 @@ def run_pipeline(
     )
     out["shell_verts"] = verts
     out["shell_faces"] = faces
+    out["shell_poisson_resolutions"] = shell_aux.get(
+        "poisson_resolutions", []
+    )
 
     if cfg.refined_sugar_iterations > 0:
         if log_fn:

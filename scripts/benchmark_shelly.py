@@ -240,6 +240,7 @@ def main():
         "n_frosting_gaussians": args.n_gaussians,
         "shell_vertices": int(np.asarray(out["shell_verts"]).shape[0]),
         "shell_faces": int(np.asarray(out["shell_faces"]).shape[0]),
+        "poisson_resolutions": out.get("shell_poisson_resolutions", []),
         "eval_psnr": float(np.mean(psnrs)),
         "eval_ssim": float(np.mean(ssims)),
         "wall_clock_s": round(wall, 1),
