@@ -96,9 +96,12 @@ def main():
         faces=np.asarray(faces, np.int32),
     )
     lv, lf = aux.get("low_poly", (verts, faces))
+    import jax as _jax
+
     out = {
         "n_gaussians": args.n,
         "n_cams": args.n_cams,
+        "device": _jax.devices()[0].platform,
         "resolution": args.res,
         "poisson_resolutions": aux.get("poisson_resolutions", []),
         "target_vertices": args.target_vertices,
