@@ -6,6 +6,14 @@ coarse_shell.py:437-466) with a table-free scheme: each grid cube splits
 into 6 tetrahedra; a tetrahedron crossing the iso level yields 1 or 2
 triangles whose vertices are edge interpolations. No 256-case tables, fully
 vectorized, no ambiguous configurations.
+
+Large grids (the reference's Poisson depth 10 = 1024^3, coarse_shell.py:80)
+are processed in z-slabs: the flat per-tet arrays of the naive
+vectorization would need hundreds of GB at 1024^3, while a slab bounds the
+working set to ~(nx*ny*slab_z) tets. Corner ids and vertex positions are
+computed in GLOBAL grid coordinates with identical arithmetic regardless of
+slabbing, so cross-slab welding is exact (bit-identical keys AND
+positions); empty slabs (no iso crossing) are skipped outright.
 """
 
 from __future__ import annotations
@@ -33,28 +41,27 @@ _CORNER_OFFSETS = np.array(
 )  # corner index bit order: x + 2y + 4z
 
 
-def marching_tets(
-    grid: np.ndarray,  # [Nx, Ny, Nz] scalar field
-    level: float,
-    origin=(0.0, 0.0, 0.0),
-    spacing=(1.0, 1.0, 1.0),
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Extract the iso-surface {field == level}. Returns (verts [V,3],
-    faces [F,3]) with vertices welded on shared tet edges. Triangles are
-    oriented so normals point toward LOWER field values (outward for a
-    density field)."""
-    nx, ny, nz = grid.shape
-    # corner values for every cube, [ncubes, 8]
+def _collect_slab(grid, level, origin, spacing, shape, z0):
+    """Crossing triangles for the cube layers [z0, z0+slab.nz-1) of the
+    GLOBAL grid. `grid` is the slab view grid[:, :, z0:z1+1]; ids,
+    positions and interpolations are all in global coordinates.
+    Returns (keys [m,3], pos [m,3,3], anchor ids [m], sign [m]) or None."""
+    nx, ny, nz = shape
+    snx, sny, snz = grid.shape
+    # corner values for every cube in the slab, [ncubes, 8]
     cubes = np.stack(
         [
-            grid[ox : nx - 1 + ox, oy : ny - 1 + oy, oz : nz - 1 + oz]
+            grid[ox : snx - 1 + ox, oy : sny - 1 + oy, oz : snz - 1 + oz]
             for ox, oy, oz in _CORNER_OFFSETS
         ],
         axis=-1,
     ).reshape(-1, 8)
-    # integer coordinates of cube corner 0
+    # integer GLOBAL coordinates of cube corner 0
     cx, cy, cz = np.meshgrid(
-        np.arange(nx - 1), np.arange(ny - 1), np.arange(nz - 1), indexing="ij"
+        np.arange(snx - 1),
+        np.arange(sny - 1),
+        np.arange(snz - 1) + z0,
+        indexing="ij",
     )
     cube_base = np.stack([cx, cy, cz], axis=-1).reshape(-1, 3)
 
@@ -63,13 +70,7 @@ def marching_tets(
         c = base + _CORNER_OFFSETS[corner]
         return c[:, 0] + nx * (c[:, 1] + ny * c[:, 2])
 
-    verts_out = []
-    faces_out = []
-    edge_keys = []
-    v_count = 0
-
-    tet_vals = cubes[:, _TETS]  # [ncubes, 6, 4]
-    tet_vals = tet_vals.reshape(-1, 4)  # [ntets, 4]
+    tet_vals = cubes[:, _TETS].reshape(-1, 4)  # [ntets, 4]
     tet_corner_ids = np.stack(
         [corner_id(cube_base, c) for c in range(8)], axis=1
     )  # [ncubes, 8]
@@ -78,10 +79,10 @@ def marching_tets(
     above = tet_vals > level  # [ntets, 4]
     n_above = above.sum(axis=1)
 
-    # Edge interpolation helper on global corner ids
-    grid_flat = grid.reshape(-1, order="F")  # id = x + nx*(y+ny*z) ✓ F-order
-    origin = np.asarray(origin, np.float64)
-    spacing = np.asarray(spacing, np.float64)
+    # Edge interpolation helper on global corner ids; values come from the
+    # slab (F-order flat, offset by the slab's base id)
+    grid_flat = grid.reshape(-1, order="F")
+    id_off = z0 * nx * ny
 
     def corner_pos(ids):
         x = ids % nx
@@ -91,15 +92,17 @@ def marching_tets(
 
     def edge_vertex(id_a, id_b):
         """Interpolated iso vertex on edge (a, b); returns (key, pos)."""
-        va = grid_flat[id_a]
-        vb = grid_flat[id_b]
+        va = grid_flat[id_a - id_off]
+        vb = grid_flat[id_b - id_off]
         t = (level - va) / np.where(np.abs(vb - va) < 1e-30, 1e-30, vb - va)
         t = np.clip(t, 0.0, 1.0)
         pos = corner_pos(id_a) * (1 - t[:, None]) + corner_pos(id_b) * t[
             :, None
         ]
         key = np.where(
-            id_a < id_b, id_a * (nx * ny * nz) + id_b, id_b * (nx * ny * nz) + id_a
+            id_a < id_b,
+            id_a * (nx * ny * nz) + id_b,
+            id_b * (nx * ny * nz) + id_a,
         )
         return key, pos
 
@@ -116,7 +119,10 @@ def marching_tets(
         ids = tet_ids[rows]
         a = ids[np.arange(len(rows)), iso_corner]
         others = np.stack(
-            [ids[np.arange(len(rows)), (iso_corner + k) % 4] for k in (1, 2, 3)],
+            [
+                ids[np.arange(len(rows)), (iso_corner + k) % 4]
+                for k in (1, 2, 3)
+            ],
             axis=1,
         )
         k0, p0 = edge_vertex(a, others[:, 0])
@@ -148,12 +154,49 @@ def marching_tets(
         )
 
     if not tris_keys:
+        return None
+    return tuple(
+        np.concatenate([t[i] for t in tris_keys]) for i in range(4)
+    )
+
+
+def marching_tets(
+    grid: np.ndarray,  # [Nx, Ny, Nz] scalar field
+    level: float,
+    origin=(0.0, 0.0, 0.0),
+    spacing=(1.0, 1.0, 1.0),
+    max_slab_cubes: int = 32_000_000,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the iso-surface {field == level}. Returns (verts [V,3],
+    faces [F,3]) with vertices welded on shared tet edges. Triangles are
+    oriented so normals point toward LOWER field values (outward for a
+    density field). Grids whose cube count exceeds max_slab_cubes are
+    processed in z-slabs (identical output, bounded memory)."""
+    nx, ny, nz = grid.shape
+    origin = np.asarray(origin, np.float64)
+    spacing = np.asarray(spacing, np.float64)
+
+    per_layer = max(1, (nx - 1) * (ny - 1))
+    slab_layers = max(1, min(nz - 1, max_slab_cubes // per_layer))
+
+    parts = []
+    for z0 in range(0, nz - 1, slab_layers):
+        z1 = min(z0 + slab_layers, nz - 1)  # cube layers [z0, z1)
+        slab = grid[:, :, z0 : z1 + 1]
+        # skip slabs that cannot cross the level
+        if slab.min() > level or slab.max() <= level:
+            continue
+        out = _collect_slab(slab, level, origin, spacing, grid.shape, z0)
+        if out is not None:
+            parts.append(out)
+
+    if not parts:
         return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
 
-    all_keys = np.concatenate([t[0] for t in tris_keys])
-    all_pos = np.concatenate([t[1] for t in tris_keys])
-    all_anchor = np.concatenate([t[2] for t in tris_keys])
-    all_sign = np.concatenate([t[3] for t in tris_keys])
+    all_keys = np.concatenate([p[0] for p in parts])
+    all_pos = np.concatenate([p[1] for p in parts])
+    all_anchor = np.concatenate([p[2] for p in parts])
+    all_sign = np.concatenate([p[3] for p in parts])
 
     # weld vertices by edge key
     flat_keys = all_keys.reshape(-1)
@@ -164,6 +207,12 @@ def marching_tets(
 
     # orient: normal points away from the above-side anchor (toward lower
     # field values)
+    def corner_pos(ids):
+        x = ids % nx
+        y = (ids // nx) % ny
+        z = ids // (nx * ny)
+        return origin + spacing * np.stack([x, y, z], axis=-1)
+
     v0 = verts[faces[:, 0]]
     v1 = verts[faces[:, 1]]
     v2 = verts[faces[:, 2]]

@@ -45,9 +45,11 @@ class ShellConfig:
     # (compute_optimal_poisson_depth, coarse_shell.py:17-49), capped at
     # max_poisson_resolution
     poisson_resolution: int = 0
-    # 512^3 = depth 9; the reference's real-scene default is depth 10
-    # (coarse_shell.py:80); the FFT solve holds 512^3 on one chip
-    max_poisson_resolution: int = 512
+    # 1024^3 = depth 10, the reference's real-scene default
+    # (coarse_shell.py:80). Grids >= 512 route to the host-CPU FFT
+    # (poisson.FFT_CPU_THRESHOLD) and marching runs in z-slabs, so the
+    # solve never touches the chip's HBM.
+    max_poisson_resolution: int = 1024
     target_vertices: int = 1_000_000  # high_poly default (train.py:118-121)
     # second decimation target (the reference emits BOTH 1M and 200k
     # meshes per extraction, coarse_shell.py:105-108): when set, the same
@@ -470,6 +472,12 @@ def _mesh_from_point_cloud(
     else:
         raw_halves = [_reconstruct_half(pts, nrm, cfg, verbose, "all")]
         raw_halves = [h for h in raw_halves if h is not None]
+    if not raw_halves:
+        raise ValueError(
+            "shell extraction found no reconstructable surface: every "
+            "fg/bg half had fewer than 16 level-crossing points (check "
+            "surface_level / camera coverage / the coarse model's opacity)"
+        )
     poisson_res = [r for _v, _f, r in raw_halves]
     raw_halves = [(v, f) for v, f, _r in raw_halves]
 

@@ -21,6 +21,9 @@ import jax.numpy as jnp
 from frosting_tpu.ops import quat as quat_ops
 
 
+_BLOCKED_JIT_CACHE: dict = {}
+
+
 class FieldValues(NamedTuple):
     density: jnp.ndarray  # [M] raw density (pre-normalization)
     density_norm: jnp.ndarray  # [M] clamp-normalized (<= ~1)
@@ -110,7 +113,10 @@ def field_values(
         op_sum = jnp.sum(nb, axis=-1, keepdims=True)
         weights = nb / jnp.maximum(op_sum, opacity_min_clamp)
         beta = jnp.sum(min_scaling * weights, axis=-1)
-        fallback = jax.lax.stop_gradient(jnp.max(min_scaling))
+        # global (scene-wide) largest min-scale so the fallback is
+        # independent of which neighbors — or which evaluation block —
+        # a zero-opacity point happens to see
+        fallback = jax.lax.stop_gradient(jnp.max(jnp.min(scales, axis=-1)))
         beta = jnp.where(op_sum[..., 0] == 0.0, fallback, beta)
     else:
         raise ValueError(f"unknown beta_mode {beta_mode}")
@@ -141,15 +147,28 @@ def field_values_blocked(
     multi-million-point budgets materializes every [M, K] intermediate on
     device (~0.5 GB each at 4M x 16 after lane padding); blocking bounds
     the working set and jit fuses each block into a handful of buffers.
-    One compile (static block size; the tail block is padded)."""
-    import functools
-
+    One compile (static block size; the tail block is padded). The jitted
+    executable is cached at module level keyed by the static kwargs, so
+    repeated calls (e.g. the per-camera extraction loop) reuse it."""
     m = x.shape[0]
     if m <= block:
         return field_values(
             x, knn_idx, centers, strengths, scales, quats, **kw
         )
-    f = jax.jit(functools.partial(field_values, **kw))
+    log_beta = kw.pop("log_beta", None)
+    cache_key = tuple(sorted(kw.items()))
+    f = _BLOCKED_JIT_CACHE.get(cache_key)
+    if f is None:
+        static_kw = dict(kw)
+
+        def run(xb, kb, centers, strengths, scales, quats, log_beta):
+            return field_values(
+                xb, kb, centers, strengths, scales, quats,
+                log_beta=log_beta, **static_kw,
+            )
+
+        f = jax.jit(run)
+        _BLOCKED_JIT_CACHE[cache_key] = f
     outs = []
     for i in range(0, m, block):
         xb = x[i : i + block]
@@ -160,7 +179,7 @@ def field_values_blocked(
             kb = jnp.concatenate(
                 [kb, jnp.zeros((pad, kb.shape[1]), kb.dtype)]
             )
-        outs.append(f(xb, kb, centers, strengths, scales, quats))
+        outs.append(f(xb, kb, centers, strengths, scales, quats, log_beta))
     full = jax.tree.map(lambda *t: jnp.concatenate(t), *outs)
     return jax.tree.map(lambda t: t[:m], full)
 

@@ -111,8 +111,22 @@ def train_step(
         loss_fn, argnums=(0, 1), has_aux=True
     )(state.params, probe0)
 
+    # Device-side NaN guard: a non-finite loss step becomes a no-op update
+    # instead of poisoning params/Adam state. This lets the host loop run
+    # fully async — no per-iteration loss fetch (which serialized host and
+    # device and cost 3x the measured step time at bench budgets).
+    good = jnp.isfinite(loss)
+    grads, probe_grad = jax.tree.map(
+        lambda g: jnp.where(good, g, jnp.zeros_like(g)), (grads, probe_grad)
+    )
+
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
+    params, opt_state = jax.tree.map(
+        lambda new, old: jnp.where(good, new, old),
+        (params, opt_state),
+        (state.params, state.opt_state),
+    )
 
     dstate = densify_lib.update_stats(
         state.dstate, probe_grad, out.radii, params.mask,
@@ -199,19 +213,12 @@ def train(
         pos += 1
 
         active_deg = min(cfg.sh_degree, (it - 1) // cfg.sh_increase_interval)
-        new_state, metrics = train_step(
+        # NO host sync here: train_step carries a device-side NaN guard
+        # (non-finite loss => no-op update), so the loop dispatches ahead
+        # of the device and finiteness is only checked at log cadence.
+        state, metrics = train_step(
             state, cameras[ci], gt_dev[ci], tx, rcfg, cfg, active_deg
         )
-        loss_val = float(metrics["loss"])
-        if not np.isfinite(loss_val):
-            # failure recovery: roll back to the last snapshot (or just
-            # skip the poisoned update when none exists yet)
-            if log_fn:
-                log_fn(f"[gs] it {it}: non-finite loss, rolling back")
-            if snapshot is not None:
-                state = snapshot
-            continue
-        state = new_state
 
         if (
             cfg.checkpoint_every > 0
@@ -242,9 +249,17 @@ def train(
             state = state._replace(params=params, opt_state=opt_state)
 
         if it % cfg.log_every == 0 or it == cfg.iterations:
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val) and snapshot is not None:
+                # the in-step guard makes a bad step a no-op, so a
+                # non-finite LOGGED loss means the scene itself is
+                # producing NaNs — restore the last good snapshot
+                if log_fn:
+                    log_fn(f"[gs] it {it}: non-finite loss, rolling back")
+                state = snapshot
             m = {
                 "iter": it,
-                "loss": float(metrics["loss"]),
+                "loss": loss_val,
                 "psnr": float(metrics["psnr"]),
                 "n_active": int(np.asarray(state.params.num_active())),
                 "overflow": bool(metrics["overflow"]),

@@ -30,6 +30,44 @@ def test_marching_tets_sphere():
     assert (cnt == 2).all()
 
 
+def test_marching_tets_slabbed_matches_full():
+    """z-slab processing (the 1024^3 memory-bounding path) must produce
+    EXACTLY the full-grid mesh: global ids + identical arithmetic make the
+    weld keys and vertex positions bit-equal across slab boundaries."""
+    n = 33
+    rng = np.random.default_rng(5)
+    xs = np.linspace(-1.3, 1.1, n)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    field = (
+        1.0
+        - np.sqrt(X**2 + 1.3 * Y**2 + 0.8 * Z**2)
+        + 0.05 * rng.normal(size=X.shape)
+    )
+    kw = dict(level=0.0, origin=(-1.3,) * 3, spacing=(2.4 / (n - 1),) * 3)
+    v_full, f_full = marching.marching_tets(field, **kw)
+    # tiny slab budget: forces many z-slabs (plus some skipped ones)
+    v_slab, f_slab = marching.marching_tets(
+        field, max_slab_cubes=3 * (n - 1) * (n - 1), **kw
+    )
+    assert v_full.shape == v_slab.shape
+    # welded vertex ORDER is identical (np.unique sorts the global edge
+    # keys); positions agree to FP epsilon — a shared edge may be welded
+    # from either of its incident tets (t vs 1-t interpolation), and the
+    # last-write-wins occurrence differs between slab and full emission
+    np.testing.assert_allclose(v_full, v_slab, atol=1e-12)
+
+    # triangles are emitted slab-by-slab, so rows are permuted; compare as
+    # canonicalized sets (smallest vertex first, cyclic order preserved)
+    def canon(f):
+        roll = np.argmin(f, axis=1)
+        rows = np.stack(
+            [f[np.arange(len(f)), (roll + k) % 3] for k in range(3)], axis=1
+        )
+        return rows[np.lexsort(rows.T[::-1])]
+
+    np.testing.assert_array_equal(canon(f_full), canon(f_slab))
+
+
 def test_poisson_sphere_from_points():
     rng = np.random.default_rng(0)
     d = rng.normal(size=(20000, 3))

@@ -82,7 +82,8 @@ def test_pallas_bwd_sort_bf16_grads_close():
     the exact f32 sort (interpret mode exercises the same reduction code
     the TPU path runs)."""
     gs = make_scene(n=250, seed=11)
-    cfg16 = dataclasses.replace(CFG_PALLAS, bwd_sort_bf16=True)
+    # bf16 packing is the DEFAULT; pin the exact f32 sort as the baseline
+    cfg32 = dataclasses.replace(CFG_PALLAS, bwd_sort_bf16=False)
 
     def loss(cfg):
         def f(*g):
@@ -91,8 +92,8 @@ def test_pallas_bwd_sort_bf16_grads_close():
 
         return f
 
-    g32 = jax.grad(loss(CFG_PALLAS), argnums=(0, 3))(*gs)
-    g16 = jax.grad(loss(cfg16), argnums=(0, 3))(*gs)
+    g32 = jax.grad(loss(cfg32), argnums=(0, 3))(*gs)
+    g16 = jax.grad(loss(CFG_PALLAS), argnums=(0, 3))(*gs)
     for a, b in zip(g32, g16):
         a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)

@@ -35,9 +35,12 @@ def make_scene(n=300, seed=0, opaque_wall=False):
     )
 
 
+# bwd_sort_bf16=False: the oracle-parity tests check the EXACT analytic
+# backward; the bf16-packed default is covered by
+# test_bwd_sort_bf16_grads_close against this pinned f32 path.
 CFG = RasterConfig(
     width=64, height=64, tile_w=32, tile_h=32, chunk=32,
-    max_instances=8192, backend="jax",
+    max_instances=8192, backend="jax", bwd_sort_bf16=False,
 )
 CAM = look_at_camera(eye=[0.2, -0.3, -2.8], target=[0.0, 0.0, 0.0])
 BG = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)

@@ -240,6 +240,39 @@ def test_sharded_frosting_refine_matches_single_device():
     )
     assert cos_ex > 0.999, cos_ex
 
+    # param+Adam-sharded route (ZeRO-3 over the primitive axis): same
+    # loss, same update, and each chip owns capacity/n_chips rows of the
+    # big leaves AND their Adam moments
+    p_sh = sf.shard_frosting_params(mesh, fparams)
+    opt_sh = tx.init(p_sh)
+    step_sh = sf.make_sharded_frosting_step(
+        tx, rcfg, tcfg, mesh, meta, shard_params=True
+    )
+    p_new_sh, opt_new_sh, m_sh = step_sh(p_sh, opt_sh, cams_s, gts_s)
+    np.testing.assert_allclose(
+        float(m_sh["loss"]), float(metrics["loss"]), rtol=1e-5
+    )
+    p_new_sh_host = jax.device_get(p_new_sh)
+    bsh = flat(p_new_sh_host, fparams)
+    cos_sh = float(
+        np.dot(a, bsh) / (np.linalg.norm(a) * np.linalg.norm(bsh) + 1e-12)
+    )
+    assert cos_sh > 0.9999, cos_sh
+    n_chips = mesh.devices.size
+    cap = fparams.bary_logits.shape[0]
+    got = p_new_sh.bary_logits.sharding.shard_shape(
+        p_new_sh.bary_logits.shape
+    )[0]
+    assert got == cap // n_chips, (got, cap // n_chips)
+    moments = [
+        l
+        for l in jax.tree.leaves(opt_new_sh)
+        if hasattr(l, "sharding") and l.ndim >= 1 and l.shape[0] == cap
+    ]
+    assert moments, "no capacity-sized Adam state leaves found"
+    for m in moments:
+        assert m.sharding.shard_shape(m.shape)[0] == cap // n_chips
+
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_primitive_exchange_matches_all_gather():
