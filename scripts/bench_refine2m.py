@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--n", type=int, default=2_000_000)
     ap.add_argument("--res", type=int, default=0, help="0 = 1920x1080")
     ap.add_argument(
+        "--quality-iters", type=int, default=400,
+        help="iters for the culled-vs-full QUALITY check (0 = skip)",
+    )
+    ap.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (this env overrides JAX_PLATFORMS)",
     )
@@ -197,6 +201,73 @@ def main():
     ms_full = run(full_step, "full")
     ms_culled = run(culled_step, "culled")
 
+    # ---- QUALITY: the reference claims culling has "small quality
+    # impact" (README.md:204). Perturb the model, train it back against
+    # the clean GT renders with (a) full steps and (b) the reference's
+    # every-2nd-iteration culling cadence (refine.py:487-492), and eval
+    # PSNR on a HELD-OUT camera. ----
+    quality = {}
+    if args.quality_iters > 0:
+        from frosting_tpu.ops.ssim import psnr as psnr_fn
+
+        eval_cam = camera_ring(n_cams=8, radius=3.0)[1]  # between train views
+        gt_eval = jax.jit(render_gt)(params, meta, eval_cam)
+
+        k1, k2, k3 = jax.random.split(key, 3)
+        import dataclasses as _dc
+
+        p0 = _dc.replace(
+            params,
+            bary_logits=params.bary_logits
+            + 0.5 * jax.random.normal(k1, params.bary_logits.shape),
+            sh_dc=params.sh_dc
+            + 0.08 * jax.random.normal(k2, params.sh_dc.shape),
+            opacities_raw=params.opacities_raw
+            + 0.4 * jax.random.normal(k3, params.opacities_raw.shape),
+        )
+
+        def eval_psnr(p):
+            img = jnp.clip(jax.jit(render_gt)(p, meta, eval_cam), 0, 1)
+            return float(psnr_fn(img, jnp.clip(gt_eval, 0, 1)))
+
+        start_psnr = eval_psnr(p0)
+        print(f"quality: perturbed start {start_psnr:.2f} dB", flush=True)
+
+        def train_variant(use_culling):
+            p, s = p0, tx.init(p0)
+            t0 = time.time()
+            for it in range(1, args.quality_iters + 1):
+                c = it % len(cams)
+                if use_culling and it % 2 == 0:
+                    p, s, _ = frosting_trainer.frosting_train_step(
+                        p, s, meta, cams[c], gt[c], vis_masks[c],
+                        tx, rcfg_culled, tcfg, 3,
+                    )
+                else:
+                    p, s, _ = frosting_trainer.frosting_train_step(
+                        p, s, meta, cams[c], gt[c], ones, tx, rcfg, tcfg, 3
+                    )
+            jax.block_until_ready(p.bary_logits)
+            wall = time.time() - t0
+            return eval_psnr(p), wall
+
+        psnr_full, wall_full = train_variant(False)
+        print(f"quality full: {psnr_full:.2f} dB ({wall_full:.0f} s)", flush=True)
+        psnr_culled, wall_culled = train_variant(True)
+        print(
+            f"quality culled: {psnr_culled:.2f} dB ({wall_culled:.0f} s)",
+            flush=True,
+        )
+        quality = {
+            "quality_iters": args.quality_iters,
+            "start_psnr": round(start_psnr, 2),
+            "eval_psnr_full": round(psnr_full, 2),
+            "eval_psnr_culled": round(psnr_culled, 2),
+            "culled_quality_delta_db": round(psnr_culled - psnr_full, 3),
+            "quality_wall_s_full": round(wall_full, 1),
+            "quality_wall_s_culled": round(wall_culled, 1),
+        }
+
     result = {
         "metric": "frosting refine step, 2M gaussians, 1920x1080",
         "ms_per_step_full": round(ms_full, 1),
@@ -210,6 +281,7 @@ def main():
             15000 * (ms_culled + ms_full) / 2 / 1e3 / 60, 1
         ),
         "reference": "refine.py:487-492 culls every 2nd iter; README.md:235 'up to 30 minutes' for the long preset",
+        **quality,
     }
     print(json.dumps(result))
     with open("REFINE2M.json", "w") as fp:

@@ -164,15 +164,24 @@ def memory_columns(n_devices: int, n_gauss: int = 1 << 22) -> dict:
     # gather route's N — THAT is the per-chip memory scaling being measured
     cap_pair = max(4096, 4 * n_gauss // (n_tile * n_tile))
     row["exchange_rows_held"] = n_tile * cap_pair
-    for tag, kwargs in (
-        ("gather", {}),
-        ("exchange", {"primitive_exchange": True,
-                      "exchange_cap": cap_pair}),
+    # sharded-params placement: each chip owns n_gauss/n_devices rows of
+    # params AND Adam moments -> argument_MB must fall ~1/n_devices
+    fparams_sh = sf.shard_frosting_params(mesh, fparams)
+    opt_state_sh = tx.init(fparams_sh)
+    for tag, p, o, kwargs in (
+        ("gather", fparams, opt_state, {}),
+        ("exchange", fparams, opt_state,
+         {"primitive_exchange": True, "exchange_cap": cap_pair}),
+        ("sharded_params", fparams_sh, opt_state_sh,
+         {"shard_params": True}),
+        ("sharded_params_exchange", fparams_sh, opt_state_sh,
+         {"shard_params": True, "primitive_exchange": True,
+          "exchange_cap": cap_pair}),
     ):
         step = sf.make_sharded_frosting_step(
             tx, rcfg, tcfg, mesh, meta, **kwargs
         )
-        compiled = step.lower(fparams, opt_state, cams_s, gts_s).compile()
+        compiled = step.lower(p, o, cams_s, gts_s).compile()
         ma = compiled.memory_analysis()
         row[tag] = {
             "temp_MB": round(ma.temp_size_in_bytes / 2**20, 1),

@@ -153,13 +153,22 @@ def main():
     }
     print("stage 4 done", flush=True)
 
-    # --- stage 5: sharded frosting refinement ---
+    # --- stage 5: sharded frosting refinement over the FULL
+    # memory-scaling route: params + Adam state sharded over the
+    # primitive axis (ZeRO-3) AND the all_to_all instance exchange
+    # instead of the projected-set all-gather ---
     cfg5 = frosting_trainer.FrostingTrainConfig(
         iterations=150, lr_max_steps=150
     )
     tx5 = frosting_trainer.make_frosting_optimizer(cfg5, 3.3)
+    fparams = sf.shard_frosting_params(mesh, fparams)
     opt5 = tx5.init(fparams)
-    step5 = sf.make_sharded_frosting_step(tx5, rcfg, cfg5, mesh, meta)
+    step5 = sf.make_sharded_frosting_step(
+        tx5, rcfg, cfg5, mesh, meta,
+        shard_params=True,
+        primitive_exchange=True,
+        exchange_cap=rcfg.max_instances // n_tile,
+    )
     losses5 = []
     for sel in batches(rng, 150, n_data):
         cb, gb = st.shard_batch(
@@ -170,8 +179,16 @@ def main():
         fparams, opt5, m = step5(fparams, opt5, cb, gb)
         losses5.append(float(m["loss"]))
     assert np.isfinite(losses5).all()
+    n_chips = n_data * n_tile
+    cap = fparams.bary_logits.shape[0]
+    shard_rows = fparams.bary_logits.sharding.shard_shape(
+        fparams.bary_logits.shape
+    )[0]
+    assert shard_rows == cap // n_chips, (shard_rows, cap)
     result["stages"]["refine_sharded"] = {
         "iters": len(losses5),
+        "route": "sharded_params + primitive_exchange",
+        "param_shard_rows_per_chip": shard_rows,
         "loss_first": round(losses5[0], 4),
         "loss_last": round(np.mean(losses5[-10:]), 4),
     }

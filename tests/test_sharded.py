@@ -2,6 +2,8 @@
 correctness on the 8-device virtual CPU mesh: loss/update direction must
 match the single-device path."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,6 +80,59 @@ def test_sharded_step_matches_single_device():
         / (np.linalg.norm(upd) * np.linalg.norm(ref_upd) + 1e-12)
     )
     assert cos > 0.999, cos
+
+    # ---- param+Adam+stats sharded route (ZeRO-3 over the primitive
+    # axis) + DEVICE-SIDE sharded densification ----
+    state_sh = st.shard_train_state(mesh, state)
+    step_sh = st.make_sharded_train_step(
+        tx, rcfg, cfg, mesh, shard_params=True
+    )
+    s_sh, m_sh = step_sh(state_sh, cams_s, gts_s)
+    np.testing.assert_allclose(
+        float(m_sh["loss"]), float(metrics["loss"]), rtol=1e-5
+    )
+    upd_sh = np.concatenate(
+        [
+            (
+                np.asarray(getattr(s_sh.params, n))
+                - np.asarray(getattr(state.params, n))
+            ).ravel()
+            for n in fields
+        ]
+    )
+    cos_sh = float(
+        np.dot(upd_sh, upd)
+        / (np.linalg.norm(upd_sh) * np.linalg.norm(upd) + 1e-12)
+    )
+    assert cos_sh > 0.9999, cos_sh
+    n_chips = mesh.devices.size
+    cap = state.params.capacity
+    for arr in (s_sh.params.means3d, s_sh.dstate.grad_accum, s_sh.max_radii):
+        assert arr.sharding.shard_shape(arr.shape)[0] == cap // n_chips
+
+    # densify on the sharded state: run a few more steps to accumulate
+    # stats with a LOW threshold so clones fire, then densify per shard
+    cfg_lo = dataclasses.replace(cfg, densify_grad_threshold=1e-6)
+    step_lo = st.make_sharded_train_step(
+        tx, rcfg, cfg_lo, mesh, shard_params=True
+    )
+    for _ in range(3):
+        s_sh, _m = step_lo(s_sh, cams_s, gts_s)
+    n_before = int(np.asarray(s_sh.params.num_active()))
+    dstep = st.make_sharded_densify_step(mesh, 3.3, cfg_lo)
+    s_d, info = dstep(s_sh, jax.random.key(7), use_size_prune=False)
+    n_after = int(np.asarray(s_d.params.num_active()))
+    grew = int(np.asarray(info.n_cloned)) + int(np.asarray(info.n_split))
+    assert grew > 0, "low threshold must produce clone/split requests"
+    assert n_after > n_before, (n_before, n_after)
+    # state stays sharded and finite after surgery
+    assert s_d.params.means3d.sharding.shard_shape(
+        s_d.params.means3d.shape
+    )[0] == cap // n_chips
+    assert np.isfinite(np.asarray(s_d.params.means3d)).all()
+    # a post-densify train step still runs and is finite
+    s_d2, m_d2 = step_lo(s_d, cams_s, gts_s)
+    assert np.isfinite(float(m_d2["loss"]))
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
