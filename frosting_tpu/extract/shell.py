@@ -153,11 +153,26 @@ def level_points_from_camera(
             density_factor=1.0,
         ).density
 
+    # Morton index over the refs built ONCE per camera: the per-block
+    # knn_query re-sorted the full reference cloud (3 grids x ~84 blocks
+    # at a 512^2 x 21-sample sweep) because the joint ref/query bbox made
+    # the sort block-dependent; preparing on the camera's full sample set
+    # hoists all of it.
+    small_refs = means.shape[0] <= 16384
+    knn_index = (
+        None if small_refs else knn_lib.knn_prepare(means, flat_pts)
+    )
+
     def eval_block(pts_block):
         # batched density passes (the reference evaluates 2M pts/pass,
         # fm:1888-1912): unbatched, the [M, K, 3] neighbor gathers at a
         # 5M-point extraction materialize lane-padded multi-GB arrays
-        knn_idx, _ = knn_lib.knn_query(pts_block, means, k=cfg.knn_k)
+        if small_refs:
+            knn_idx, _ = knn_lib.knn_query(pts_block, means, k=cfg.knn_k)
+        else:
+            knn_idx, _ = knn_lib.knn_query_indexed(
+                knn_index, pts_block, k=cfg.knn_k
+            )
         return jax.vmap(
             lambda p, idx: jax.value_and_grad(
                 lambda q: density_at(q[None], idx[None])[0]
@@ -235,9 +250,16 @@ def level_points_from_camera(
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _density_grad_block(pts_block, means, scales, quats, opac, k: int):
-    """(density, d density/d point) for one block of query points."""
-    knn_idx, _ = knn_lib.knn_query(pts_block, means, k=k)
+def _density_grad_block(
+    pts_block, means, scales, quats, opac, k: int, knn_index=None
+):
+    """(density, d density/d point) for one block of query points.
+    Pass knn_index (ops.knn.knn_prepare over `means`) to skip the
+    per-block reference re-sort when sweeping many blocks."""
+    if knn_index is None:
+        knn_idx, _ = knn_lib.knn_query(pts_block, means, k=k)
+    else:
+        knn_idx, _ = knn_lib.knn_query_indexed(knn_index, pts_block, k=k)
 
     def density_at(p, idx):
         return fields.field_values(
@@ -259,13 +281,22 @@ def eval_density_blocks(
     m = len(pts)
     out_d = np.empty((m,), np.float32)
     out_g = np.empty((m, 3), np.float32)
+    # index over the fixed refs built once for the whole sweep; the
+    # query-bbox requirement is satisfied by the two bbox corner points
+    knn_index = None
+    if means.shape[0] > 16384 and m > block:
+        corners = jnp.asarray(
+            np.stack([np.min(pts, axis=0), np.max(pts, axis=0)]),
+            jnp.float32,
+        )
+        knn_index = knn_lib.knn_prepare(means, corners)
     for i in range(0, m, block):
         blk = np.asarray(pts[i : i + block], np.float32)
         pad = block - len(blk)
         if pad:
             blk = np.concatenate([blk, np.zeros((pad, 3), np.float32)])
         d, g = _density_grad_block(
-            jnp.asarray(blk), means, scales, quats, opac, k
+            jnp.asarray(blk), means, scales, quats, opac, k, knn_index
         )
         out_d[i : i + block] = np.asarray(d)[: m - i]
         out_g[i : i + block] = np.asarray(g)[: m - i]
@@ -421,7 +452,10 @@ def extract_shell(
     if cfg.method != "surface":
         raise ValueError(f"unknown extraction method {cfg.method!r}")
 
+    import time as _time
+
     all_pts, all_nrm, all_inner = [], [], []
+    t_cams = _time.time()
     for i, cam in enumerate(cameras):
         o, nrm, inner, valid = level_points_from_camera(
             means, scales, quats, opac, cam, rcfg, cfg
@@ -436,12 +470,25 @@ def extract_shell(
                 f"{int(v.sum())} level points",
                 flush=True,
             )
+    t_cams = _time.time() - t_cams
     pts = np.concatenate(all_pts)
     nrm = np.concatenate(all_nrm)
     inner = np.concatenate(all_inner)
     if verbose:
-        print(f"[shell] {len(pts)} surface points from {len(cameras)} cameras")
-    return _mesh_from_point_cloud(pts, nrm, inner, cameras, rcfg, cfg, verbose)
+        print(
+            f"[shell] {len(pts)} surface points from {len(cameras)} "
+            f"cameras in {t_cams:.1f} s "
+            f"({t_cams / max(len(cameras), 1):.2f} s/camera)"
+        )
+    verts, faces, aux = _mesh_from_point_cloud(
+        pts, nrm, inner, cameras, rcfg, cfg, verbose
+    )
+    aux["timings"] = dict(
+        aux.get("timings", {}),
+        level_points_s=round(t_cams, 2),
+        per_camera_s=round(t_cams / max(len(cameras), 1), 3),
+    )
+    return verts, faces, aux
 
 
 def _mesh_from_point_cloud(
@@ -451,6 +498,9 @@ def _mesh_from_point_cloud(
     -> quantile clean -> decimate -> projection -> visibility culling."""
     from frosting_tpu.extract import meshclean
 
+    import time as _time
+
+    t_poisson = _time.time()
     if cfg.fg_split:
         # camera-centered fg/bg split (coarse_shell.py:382-405)
         centers = np.stack([np.asarray(c.cam_center) for c in cameras])
@@ -480,6 +530,7 @@ def _mesh_from_point_cloud(
         )
     poisson_res = [r for _v, _f, r in raw_halves]
     raw_halves = [(v, f) for v, f, _r in raw_halves]
+    t_poisson = _time.time() - t_poisson
 
     def finalize(target):
         """Decimate the shared Poisson halves to one budget and run the
@@ -498,14 +549,23 @@ def _mesh_from_point_cloud(
             verts, faces = meshclean.largest_component(verts, faces)
         return verts, faces
 
+    t_finalize = _time.time()
     verts, faces = finalize(cfg.target_vertices)
+    t_finalize = _time.time() - t_finalize
     if verbose:
-        print(f"[shell] cleaned mesh: {len(verts)} verts {len(faces)} faces")
+        print(
+            f"[shell] cleaned mesh: {len(verts)} verts {len(faces)} faces "
+            f"(poisson {t_poisson:.1f} s, clean tail {t_finalize:.1f} s)"
+        )
     aux = {
         "surface_points": pts,
         "surface_normals": nrm,
         "inner_points": inner,
         "poisson_resolutions": poisson_res,
+        "timings": {
+            "poisson_s": round(t_poisson, 2),
+            "finalize_s": round(t_finalize, 2),
+        },
     }
     # second budget from the same reconstruction (coarse_shell.py:105-108
     # emits both the 1M high-poly and 200k low-poly meshes per run)

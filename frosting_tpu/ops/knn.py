@@ -275,36 +275,26 @@ def _knn_query_exact(queries, refs, k):
     return idx.reshape(-1, k)[:m], d2.reshape(-1, k)[:m]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "window", "n_grids"))
-def knn_query(
-    queries: jnp.ndarray,  # [M, 3]
+def knn_prepare(
     refs: jnp.ndarray,  # [N, 3]
-    k: int = 16,
-    window: int = 48,
+    bbox_points: jnp.ndarray,  # [Q, 3] points the queries will span
     n_grids: int = 3,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """KNN of queries against a reference cloud (replaces pytorch3d
-    knn_points(queries, refs)). Returns (idx [M, k], sqdist).
-
-    Exact (chunked brute force) when the reference set is small; otherwise
-    Morton-window approximate over rotated grids. The Morton quantization
-    uses the JOINT bbox of refs and queries — with the refs-only bbox, a
-    query outside the refs' extent along any axis gets a clipped code and
-    lands arbitrarily far from its true neighbors in sorted order."""
-    n = refs.shape[0]
-    if n <= 16384:
-        return _knn_query_exact(queries, refs, k)
-    m = queries.shape[0]
-
+):
+    """Build the Morton-window search index over the reference cloud ONCE
+    (per-grid ref sorts are the expensive part: n_grids argsorts of N).
+    `bbox_points` must cover the eventual queries — the Morton
+    quantization uses the JOINT bbox of refs and queries; with a
+    refs-only bbox, a query outside the refs' extent gets a clipped code
+    and lands arbitrarily far from its true neighbors in sorted order.
+    Returns an index pytree for knn_query_indexed; reuse it across every
+    query block against the same refs (e.g. the 84-block-per-camera
+    extraction sweep re-sorted the refs 3 x 84 times per camera without
+    it)."""
     orders, sorted_codes_list, bounds, rots = [], [], [], []
     for g in range(n_grids):
-        # rotated Morton curves per grid (see _grid_rotation). The
-        # quantization uses the JOINT bbox of (rotated) refs and queries —
-        # with the refs-only bbox, a query outside the refs' extent gets a
-        # clipped code and lands arbitrarily far from its true neighbors.
         rot = _grid_rotation(g)
         rg = refs if g == 0 else _rotate(refs, rot)
-        qg = queries if g == 0 else _rotate(queries, rot)
+        qg = bbox_points if g == 0 else _rotate(bbox_points, rot)
         lo = jnp.minimum(jnp.min(rg, axis=0), jnp.min(qg, axis=0))
         hi = jnp.maximum(jnp.max(rg, axis=0), jnp.max(qg, axis=0))
         ref_codes = morton_codes(rg, lo, hi)
@@ -313,6 +303,31 @@ def knn_query(
         sorted_codes_list.append(ref_codes[order])
         bounds.append((lo, hi))
         rots.append(rot)
+    return {
+        "orders": orders,
+        "sorted_codes": sorted_codes_list,
+        "bounds": bounds,
+        "rots": rots,
+        "refs": refs,
+    }
+
+
+def knn_query_indexed(
+    index,
+    queries: jnp.ndarray,  # [M, 3]
+    k: int = 16,
+    window: int = 48,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Morton-window KNN against a prepared index (knn_prepare). The
+    queries must lie inside the bbox the index was prepared with."""
+    refs = index["refs"]
+    n = refs.shape[0]
+    m = queries.shape[0]
+    n_grids = len(index["orders"])
+    orders = index["orders"]
+    sorted_codes_list = index["sorted_codes"]
+    bounds = index["bounds"]
+    rots = index["rots"]
     rx, ry, rz = refs[:, 0], refs[:, 1], refs[:, 2]
 
     def one_block(q):  # [B, 3] — bounded memory per block
@@ -359,6 +374,28 @@ def knn_query(
     qp = jnp.concatenate([queries, jnp.zeros((pad, 3), queries.dtype)])
     idx, d2 = jax.lax.map(one_block, qp.reshape(-1, blk, 3))
     return idx.reshape(-1, k)[:m], d2.reshape(-1, k)[:m]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "n_grids"))
+def knn_query(
+    queries: jnp.ndarray,  # [M, 3]
+    refs: jnp.ndarray,  # [N, 3]
+    k: int = 16,
+    window: int = 48,
+    n_grids: int = 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """KNN of queries against a reference cloud (replaces pytorch3d
+    knn_points(queries, refs)). Returns (idx [M, k], sqdist).
+
+    Exact (chunked brute force) when the reference set is small;
+    otherwise Morton-window approximate over rotated grids via
+    knn_prepare + knn_query_indexed (one-shot; reuse knn_prepare
+    yourself when issuing many query batches against fixed refs)."""
+    n = refs.shape[0]
+    if n <= 16384:
+        return _knn_query_exact(queries, refs, k)
+    index = knn_prepare(refs, queries, n_grids=n_grids)
+    return knn_query_indexed(index, queries, k=k, window=window)
 
 
 def mean_knn_sqdist(points: jnp.ndarray, k: int = 3) -> jnp.ndarray:

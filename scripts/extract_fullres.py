@@ -50,8 +50,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=200_000)
     ap.add_argument("--res", type=int, default=512)
-    ap.add_argument("--n-cams", type=int, default=24)
+    # the reference extracts with 100-300 cameras (coarse_shell.py:301-364)
+    ap.add_argument("--n-cams", type=int, default=100)
     ap.add_argument("--target-vertices", type=int, default=1_000_000)
+    ap.add_argument(
+        "--max-poisson", type=int, default=1024,
+        help="Poisson grid cap (1024 = the reference's depth-10 default, "
+        "coarse_shell.py:80; solves >= 512 run on the host FFT)",
+    )
     ap.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (the axon plugin overrides "
@@ -78,7 +84,8 @@ def main():
         max_instances=1 << 21, backend="auto",
     )
     cfg = ShellConfig(
-        poisson_resolution=0,  # auto depth heuristic (up to 512^3)
+        poisson_resolution=0,  # auto depth heuristic
+        max_poisson_resolution=args.max_poisson,
         target_vertices=args.target_vertices,
         target_vertices_low=200_000,  # reference emits BOTH budgets
         cleaning_quantile=0.1,
@@ -111,6 +118,8 @@ def main():
         "low_poly_vertices": int(len(lv)),
         "low_poly_faces": int(len(lf)),
         "wall_clock_s": round(dt, 1),
+        "timings": aux.get("timings", {}),
+        "max_poisson_resolution": args.max_poisson,
     }
     with open("EXTRACT_BENCH.json", "w") as f:
         json.dump(out, f, indent=1)

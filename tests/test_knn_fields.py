@@ -165,3 +165,43 @@ def test_sugar_losses_finite_and_meaningful():
     g = jax.grad(total)(jnp.asarray(scales))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_knn_query_indexed_matches_oneshot():
+    """knn_prepare + knn_query_indexed must equal the one-shot knn_query
+    on a reference cloud large enough to take the Morton-window path
+    (> 16384 refs), for query blocks inside the prepared bbox."""
+    rng = np.random.default_rng(3)
+    refs = jnp.asarray(rng.uniform(-1, 1, (20000, 3)), jnp.float32)
+    queries = jnp.asarray(rng.uniform(-0.9, 0.9, (3000, 3)), jnp.float32)
+
+    idx_ref, d2_ref = knn_lib.knn_query(queries, refs, k=8)
+    index = knn_lib.knn_prepare(refs, queries)
+    idx_pre, d2_pre = knn_lib.knn_query_indexed(index, queries, k=8)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(d2_pre), axis=1),
+        np.sort(np.asarray(d2_ref), axis=1),
+        rtol=1e-5, atol=1e-7,
+    )
+
+    # block sweeps reuse the index: same result as querying all at once
+    parts = [
+        knn_lib.knn_query_indexed(index, queries[i : i + 1000], k=8)[1]
+        for i in range(0, 3000, 1000)
+    ]
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(p) for p in parts]),
+        np.asarray(d2_pre),
+        rtol=1e-5, atol=1e-7,
+    )
+
+    # recall vs exact stays high
+    tree = cKDTree(np.asarray(refs))
+    d_true, i_true = tree.query(np.asarray(queries), k=8, workers=-1)
+    hits = np.mean(
+        [
+            len(set(a) & set(b)) / 8.0
+            for a, b in zip(np.asarray(idx_pre), i_true)
+        ]
+    )
+    assert hits > 0.95, hits
