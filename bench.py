@@ -137,10 +137,12 @@ def main():
     extra = {
         "fwd_only_mpix_s": round(fwd_mpix_s, 2),
         "fwd_only_fps": round(fwd_mpix_s * 1e6 / (512 * 512), 1),
-        # opt-in bwd_sort_bf16 (per-instance grad rows quantized to bf16
-        # before the per-gaussian f32 segment sum) measured 15.45 Mpix/s
-        # vs 14.74 same-session (scripts/perf_ab_r4.py); headline stays
-        # the exact-f32 default config.
+        # bwd_sort_bf16 (per-instance grad rows packed as bf16 pairs
+        # before the per-gaussian f32 segment sum) is the DEFAULT since
+        # round 5 (+4.6% same-session, grad cosine > 0.9999,
+        # scripts/perf_ab_r4.py + tests/test_raster.py); the headline now
+        # measures the default config.
+        "bwd_sort_bf16": True,
     }
     # production-scale shape measured separately (scripts/bench_1080p.py
     # writes BENCH_1080P.json; kept out of the main loop so the driver's
