@@ -471,11 +471,22 @@ def init_frosting(
     thick = thick_v[faces_j].mean(axis=1)
     volumes = areas * jnp.maximum(thick, cfg.min_frosting_size * spatial_extent)
 
-    # volume-proportional allocation
+    # volume-proportional allocation via inverse-CDF sampling:
+    # jax.random.categorical materializes an [n, F] Gumbel matrix —
+    # 440 GB at the reference budgets (300k gaussians x 394k faces of a
+    # 200k-vert shell; this OOM'd the full Shelly run). cumsum + binary
+    # search is O(n log F) and exact-in-distribution (same construction
+    # as fields.sample_points_in_gaussians).
     k1, k2, k3 = jax.random.split(key, 3)
     n = cfg.n_gaussians
-    logp = jnp.log(jnp.maximum(volumes / volumes.sum(), 1e-30))
-    cell_idx = jax.random.categorical(k1, logp, shape=(n,)).astype(jnp.int32)
+    p = volumes / jnp.maximum(volumes.sum(), 1e-30)
+    cdf = jnp.cumsum(p)
+    u_cell = jax.random.uniform(k1, (n,), maxval=cdf[-1])
+    cell_idx = jnp.clip(
+        jnp.searchsorted(cdf, u_cell, side="right"),
+        0,
+        len(faces_j) - 1,
+    ).astype(jnp.int32)
     # SORTED cell assignment (distribution unchanged — every other per-
     # gaussian quantity is sampled iid afterwards): contiguity lets the
     # activation backward reduce corner gradients as prefix differences

@@ -174,10 +174,7 @@ def _photometric(out, gt_image, cfg: FrostingTrainConfig):
     }
 
 
-@functools.partial(
-    jax.jit, static_argnames=("tx", "rcfg", "cfg", "active_sh_degree")
-)
-def frosting_train_step(
+def _frosting_train_step_impl(
     params: FrostingParams,
     opt_state,
     meta: FrostingMeta,
@@ -205,6 +202,22 @@ def frosting_train_step(
         return loss, aux
 
     return _step_from_loss(loss_fn, params, opt_state, tx)
+
+
+_STEP_STATICS = ("tx", "rcfg", "cfg", "active_sh_degree")
+# public entry point: safe to call repeatedly on the same params
+frosting_train_step = functools.partial(
+    jax.jit, static_argnames=_STEP_STATICS
+)(_frosting_train_step_impl)
+# hot-loop variant: params/opt_state buffers are DONATED (updated in
+# place; at 2M gaussians the non-donated step copies ~0.5 GB of params +
+# 1 GB of Adam state every iteration). Callers must not touch the inputs
+# after the call — the train loop below threads them linearly.
+frosting_train_step_donated = functools.partial(
+    jax.jit,
+    static_argnames=_STEP_STATICS,
+    donate_argnames=("params", "opt_state"),
+)(_frosting_train_step_impl)
 
 
 def precompute_visibility(
@@ -290,6 +303,10 @@ def train(
     iterations — every capacity-proportional cost (instance buffers, sorts,
     backward reduction) shrinks with the visible subset, not just the
     blend. Defaults to rcfg."""
+    # the loop's donated steps consume their input buffers; copy once so
+    # the CALLER's params (e.g. the freshly-initialized frosting, which
+    # callers may also export/inspect) stay valid
+    params = jax.tree.map(jnp.copy, params)
     tx = make_frosting_optimizer(cfg, spatial_extent)
     opt_state = tx.init(params)
     rng = np.random.default_rng(seed)
@@ -343,13 +360,13 @@ def train(
         ci = int(order[pos])
         pos += 1
         if vis_masks is not None and it % cfg.cull_every == 0:
-            params, opt_state, aux = frosting_train_step(
+            params, opt_state, aux = frosting_train_step_donated(
                 params, opt_state, meta, cameras[ci], gt_dev[ci],
                 vis_masks[ci], tx, rcfg_culled or rcfg, cfg,
                 cfg.sh_degree, nc_pairs,
             )
         else:
-            params, opt_state, aux = frosting_train_step(
+            params, opt_state, aux = frosting_train_step_donated(
                 params, opt_state, meta, cameras[ci], gt_dev[ci], ones_mask,
                 tx, rcfg, cfg, cfg.sh_degree, nc_pairs,
             )

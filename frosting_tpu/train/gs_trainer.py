@@ -78,10 +78,7 @@ def init_state(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("tx", "rcfg", "cfg", "active_sh_degree")
-)
-def train_step(
+def _train_step_impl(
     state: TrainState,
     camera: Camera,
     gt_image: jnp.ndarray,  # [3, H, W]
@@ -145,6 +142,19 @@ def train_step(
         TrainState(params, opt_state, dstate, max_radii),
         metrics,
     )
+
+
+_GS_STATICS = ("tx", "rcfg", "cfg", "active_sh_degree")
+# public entry point: safe to call repeatedly on the same state
+train_step = functools.partial(jax.jit, static_argnames=_GS_STATICS)(
+    _train_step_impl
+)
+# hot-loop variant: the whole TrainState (params + Adam moments + densify
+# stats) is DONATED and updated in place; the train loop threads state
+# linearly and snapshots via explicit copies
+train_step_donated = functools.partial(
+    jax.jit, static_argnames=_GS_STATICS, donate_argnames=("state",)
+)(_train_step_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("spatial_extent", "cfg", "use_size_prune"))
@@ -216,7 +226,9 @@ def train(
         # NO host sync here: train_step carries a device-side NaN guard
         # (non-finite loss => no-op update), so the loop dispatches ahead
         # of the device and finiteness is only checked at log cadence.
-        state, metrics = train_step(
+        # State buffers are DONATED (in-place update); the snapshot below
+        # is an explicit copy so rollback survives donation.
+        state, metrics = train_step_donated(
             state, cameras[ci], gt_dev[ci], tx, rcfg, cfg, active_deg
         )
 
@@ -224,7 +236,7 @@ def train(
             cfg.checkpoint_every > 0
             and it % cfg.checkpoint_every == 0
         ):
-            snapshot = state
+            snapshot = jax.tree.map(jnp.copy, state)
             if cfg.checkpoint_dir:
                 last_ckpt_path = f"{cfg.checkpoint_dir}/gs_{it:07d}.npz"
                 ckpt_lib.save_npz(last_ckpt_path, state.params)
@@ -256,7 +268,9 @@ def train(
                 # producing NaNs — restore the last good snapshot
                 if log_fn:
                     log_fn(f"[gs] it {it}: non-finite loss, rolling back")
-                state = snapshot
+                # copy: the next donated step consumes these buffers, and
+                # the snapshot must survive for possible further rollbacks
+                state = jax.tree.map(jnp.copy, snapshot)
             m = {
                 "iter": it,
                 "loss": loss_val,

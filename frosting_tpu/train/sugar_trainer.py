@@ -66,11 +66,7 @@ class SugarTrainConfig:
     log_every: int = 200
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tx", "rcfg", "cfg", "active_sh_degree", "phase"),
-)
-def sugar_train_step(
+def _sugar_train_step_impl(
     params: GaussianParams,
     opt_state,
     camera: Camera,
@@ -157,6 +153,20 @@ def sugar_train_step(
     return params, opt_state, aux
 
 
+_SUGAR_STATICS = ("tx", "rcfg", "cfg", "active_sh_degree", "phase")
+# public entry point: safe to call repeatedly on the same params
+sugar_train_step = functools.partial(
+    jax.jit, static_argnames=_SUGAR_STATICS
+)(_sugar_train_step_impl)
+# hot-loop variant: donates params/opt_state (in-place Adam update, no
+# per-step full-state copy); the train loop threads them linearly
+sugar_train_step_donated = functools.partial(
+    jax.jit,
+    static_argnames=_SUGAR_STATICS,
+    donate_argnames=("params", "opt_state"),
+)(_sugar_train_step_impl)
+
+
 @jax.jit
 def hard_prune(params: GaussianParams, threshold: float = 0.5):
     """Park all Gaussians below the hard opacity threshold."""
@@ -187,6 +197,9 @@ def train(
 ):
     """Python driver for the coarse stage. `params` comes from the 3DGS
     stage (vanilla checkpoint)."""
+    # the loop's donated steps consume their input buffers; copy once so
+    # the CALLER's params (e.g. pipeline's gs_state) stay valid
+    params = jax.tree.map(jnp.copy, params)
     tx = opt_lib.make_gs_optimizer(spatial_extent)
     opt_state = tx.init(params)
     key = jax.random.key(seed)
@@ -224,7 +237,7 @@ def train(
             phase = "photo"
 
         key, sub = jax.random.split(key)
-        params, opt_state, aux = sugar_train_step(
+        params, opt_state, aux = sugar_train_step_donated(
             params, opt_state, cameras[ci], gt_dev[ci], knn_idx, sub,
             tx, rcfg, cfg, cfg.sh_degree, phase,
         )

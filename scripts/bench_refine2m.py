@@ -171,7 +171,9 @@ def main():
     print("culled instances", n_inst_c, "cap", rcfg_culled.max_instances, flush=True)
 
     def run(step_fn, label, iters=12, warmup=3):
-        p, s = params, opt_state
+        # donated steps consume their inputs; run on copies of the seed
+        p = jax.tree.map(jnp.copy, params)
+        s = jax.tree.map(jnp.copy, opt_state)
         for i in range(warmup):
             p, s, aux = step_fn(p, s, i)
         jax.block_until_ready(p.bary_logits)
@@ -185,15 +187,17 @@ def main():
         print(f"{label}: {dt:.1f} ms/step (loss {loss:.4f})", flush=True)
         return dt
 
+    # the trainer's hot loop donates params/opt_state (in-place updates);
+    # measure that path
     def full_step(p, s, i):
         cam = cams[i % len(cams)]
-        return frosting_trainer.frosting_train_step(
+        return frosting_trainer.frosting_train_step_donated(
             p, s, meta, cam, gt[i % len(cams)], ones, tx, rcfg, tcfg, 3
         )
 
     def culled_step(p, s, i):
         c = i % len(cams)
-        return frosting_trainer.frosting_train_step(
+        return frosting_trainer.frosting_train_step_donated(
             p, s, meta, cams[c], gt[c], vis_masks[c],
             tx, rcfg_culled, tcfg, 3,
         )
@@ -234,17 +238,18 @@ def main():
         print(f"quality: perturbed start {start_psnr:.2f} dB", flush=True)
 
         def train_variant(use_culling):
-            p, s = p0, tx.init(p0)
+            p = jax.tree.map(jnp.copy, p0)
+            s = tx.init(p)
             t0 = time.time()
             for it in range(1, args.quality_iters + 1):
                 c = it % len(cams)
                 if use_culling and it % 2 == 0:
-                    p, s, _ = frosting_trainer.frosting_train_step(
+                    p, s, _ = frosting_trainer.frosting_train_step_donated(
                         p, s, meta, cams[c], gt[c], vis_masks[c],
                         tx, rcfg_culled, tcfg, 3,
                     )
                 else:
-                    p, s, _ = frosting_trainer.frosting_train_step(
+                    p, s, _ = frosting_trainer.frosting_train_step_donated(
                         p, s, meta, cams[c], gt[c], ones, tx, rcfg, tcfg, 3
                     )
             jax.block_until_ready(p.bary_logits)

@@ -195,6 +195,11 @@ def main():
             cleaning_quantile=0.0,
             target_vertices=args.target_vertices,
             fg_split=False,
+            # 512^3 for the timed benchmark run (2.0M-vert reconstruction
+            # at this budget already exceeds the 200k decimation target
+            # 10x); the depth-10 1024^3 route is exercised by
+            # scripts/extract_fullres.py
+            max_poisson_resolution=512,
         ),
         frosting=frosting_lib.FrostingConfig(
             n_gaussians=args.n_gaussians,

@@ -187,18 +187,20 @@ def main():
         results[name] = round(ms, 1)
         print(f"{name}: {ms:.1f} ms", flush=True)
 
-    # full train step (per-dispatch, like the trainer; includes Adam)
+    # full train step (per-dispatch, like the trainer; includes Adam;
+    # donated = the trainer's in-place hot path)
     ones = vis_mask
-    p, s = params, opt_state
+    p = jax.tree.map(jnp.copy, params)
+    s = tx.init(p)
     for i in range(3):
-        p, s, aux = frosting_trainer.frosting_train_step(
+        p, s, aux = frosting_trainer.frosting_train_step_donated(
             p, s, meta, cam, gt, ones, tx, rcfg, tcfg, 3
         )
     jax.block_until_ready(p.bary_logits)
     t0 = time.time()
     iters = max(5, args.iters)
     for i in range(iters):
-        p, s, aux = frosting_trainer.frosting_train_step(
+        p, s, aux = frosting_trainer.frosting_train_step_donated(
             p, s, meta, cam, gt, ones, tx, rcfg, tcfg, 3
         )
     jax.block_until_ready(p.bary_logits)
