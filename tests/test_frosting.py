@@ -368,3 +368,44 @@ def test_sorted_corner_blend_matches_gather():
         np.testing.assert_allclose(
             b, a, rtol=2e-4, atol=2e-5, err_msg=f.name
         )
+
+
+def test_cell_allocation_volume_proportional():
+    """init_frosting's cell sampling (inverse-CDF, replacing the
+    jax.random.categorical whose [n, F] Gumbel matrix hit 440 GB at
+    reference budgets) must still allocate gaussians ~proportional to
+    cell volume."""
+    gt = _sphere_scene(400)
+    rcfg = RasterConfig(
+        width=64, height=64, tile_w=32, tile_h=32, chunk=32,
+        max_instances=4096, backend="jax",
+    )
+    cams = synthetic.camera_ring(n_cams=2, radius=3.0)
+    verts, faces, _aux = extract_shell(
+        gt[0], gt[1], gt[2], gt[3], cams, rcfg,
+        ShellConfig(poisson_resolution=32, target_vertices=400, knn_k=8),
+    )
+    fcfg = frosting_lib.FrostingConfig(
+        n_gaussians=20000, knn_k=8, avoid_self_intersections=False
+    )
+    fparams, meta = frosting_lib.init_frosting(
+        jax.random.key(0), verts, faces, gt[0], gt[1], gt[2], gt[3],
+        None, fcfg, 3.0,
+    )
+    counts = np.bincount(
+        np.asarray(meta.cell_idx), minlength=len(np.asarray(faces))
+    )
+    # recompute the allocation weights the same way init does
+    from frosting_tpu.ops import mesh as mesh_ops
+
+    areas = np.asarray(
+        mesh_ops.face_areas(jnp.asarray(verts, jnp.float32), meta.faces)
+    )
+    # correlation between counts and areas*thickness proxy: with uniform
+    # thickness on this shell, counts ~ areas
+    c = np.corrcoef(counts, areas)[0, 1]
+    assert c > 0.7, c
+    # cell_idx is sorted (prefix-diff backward contract) and in range
+    ci = np.asarray(meta.cell_idx)
+    assert (np.diff(ci) >= 0).all()
+    assert ci.min() >= 0 and ci.max() < len(np.asarray(faces))
