@@ -18,6 +18,13 @@ Shardings:
     a differentiable gather whose transpose scatters the sample-loss
     gradients back to the owning strip — and evaluates its sample shard
     against it.
+
+Params stay REPLICATED here by design (no shard_params option, unlike
+sharded_train/sharded_frosting): the KNN field losses gather arbitrary
+neighbors of the full cloud every step, so sharded storage would be
+re-gathered whole anyway, and the coarse stage's budget (<= 500k
+gaussians, ~350 MB params+Adam) fits one chip trivially — the 2-5M
+memory wall this framework shards for is the REFINE stage's.
 """
 
 from __future__ import annotations
