@@ -56,30 +56,70 @@ def run_pipeline(
     cfg: PipelineConfig,
     seed: int = 0,
     log_fn=print,
+    cache_dir: Optional[str] = None,
 ) -> Dict:
-    """Run stages 1-5; returns a dict with every stage's artifacts."""
+    """Run stages 1-5; returns a dict with every stage's artifacts.
+
+    cache_dir: optional stage-artifact caching (the in-process analogue
+    of the reference's inter-stage artifact files,
+    train_full_pipeline.py:155-208): completed stages write their hand-off
+    artifact there and are SKIPPED on a re-run — a multi-hour full-budget
+    pipeline survives a transient crash (e.g. a TPU worker restart)
+    without redoing finished stages. Skipped stages leave their history
+    entries (gs_state etc.) unset in the result."""
+    import os
+
     out: Dict = {}
+    ck = (lambda n: os.path.join(cache_dir, n)) if cache_dir else None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
 
-    if log_fn:
-        log_fn("=== stage 1: vanilla 3DGS ===")
-    state, gs_hist = gs_trainer.train(
-        cameras, gt_images, points, colors, spatial_extent, rcfg, cfg.gs,
-        seed=seed, log_fn=log_fn,
-    )
-    out["gs_state"] = state
-    out["gs_history"] = gs_hist
+    def _save_gaussians(path, p):
+        np.savez(
+            path,
+            **{
+                f.name: np.asarray(getattr(p, f.name))
+                for f in dataclasses.fields(p)
+            },
+        )
 
-    if log_fn:
-        log_fn("=== stage 2: coarse SuGaR ===")
-    params, sugar_hist = sugar_trainer.train(
-        state.params, spatial_extent, cameras, gt_images, rcfg, cfg.sugar,
-        seed=seed, log_fn=log_fn,
-    )
-    out["sugar_params"] = params
-    out["sugar_history"] = sugar_hist
+    def _load_gaussians(path):
+        from frosting_tpu.scene.gaussians import GaussianParams
 
-    if log_fn:
-        log_fn("=== stage 3: shell extraction ===")
+        z = np.load(path)
+        return GaussianParams(
+            **{
+                f.name: jnp.asarray(z[f.name])
+                for f in dataclasses.fields(GaussianParams)
+            }
+        )
+
+    if ck and os.path.exists(ck("sugar_params.npz")):
+        if log_fn:
+            log_fn("=== stages 1-2: resumed from cache ===")
+        params = _load_gaussians(ck("sugar_params.npz"))
+        out["sugar_params"] = params
+    else:
+        if log_fn:
+            log_fn("=== stage 1: vanilla 3DGS ===")
+        state, gs_hist = gs_trainer.train(
+            cameras, gt_images, points, colors, spatial_extent, rcfg, cfg.gs,
+            seed=seed, log_fn=log_fn,
+        )
+        out["gs_state"] = state
+        out["gs_history"] = gs_hist
+
+        if log_fn:
+            log_fn("=== stage 2: coarse SuGaR ===")
+        params, sugar_hist = sugar_trainer.train(
+            state.params, spatial_extent, cameras, gt_images, rcfg, cfg.sugar,
+            seed=seed, log_fn=log_fn,
+        )
+        out["sugar_params"] = params
+        out["sugar_history"] = sugar_hist
+        if ck:
+            _save_gaussians(ck("sugar_params.npz"), params)
+
     # compact away dead arena slots (parked at 1e6) before the host-driven
     # extraction/init stages: they would wreck the KNN Morton quantization
     # and misalign SH-transfer indices
@@ -91,10 +131,31 @@ def run_pipeline(
         }
     )
     means, scales, quats, opac, _sh = activate(params_live)
-    verts, faces, shell_aux = extract_shell(
-        means, scales, quats, opac, cameras, rcfg, cfg.shell,
-        verbose=bool(log_fn),
-    )
+
+    if ck and os.path.exists(ck("shell.npz")):
+        if log_fn:
+            log_fn("=== stage 3: resumed from cache ===")
+        z = np.load(ck("shell.npz"))
+        verts, faces = z["verts"], z["faces"]
+        shell_aux = {
+            "poisson_resolutions": [int(r) for r in z["poisson_res"]]
+        }
+    else:
+        if log_fn:
+            log_fn("=== stage 3: shell extraction ===")
+        verts, faces, shell_aux = extract_shell(
+            means, scales, quats, opac, cameras, rcfg, cfg.shell,
+            verbose=bool(log_fn),
+        )
+        if ck:
+            np.savez(
+                ck("shell.npz"),
+                verts=np.asarray(verts),
+                faces=np.asarray(faces),
+                poisson_res=np.asarray(
+                    shell_aux.get("poisson_resolutions", []), np.int64
+                ),
+            )
     out["shell_verts"] = verts
     out["shell_faces"] = faces
     out["shell_poisson_resolutions"] = shell_aux.get(
@@ -116,13 +177,24 @@ def run_pipeline(
         out["refined_sugar_meta"] = rs_meta
         out["refined_sugar_history"] = rs_hist
 
-    if log_fn:
-        log_fn("=== stage 4: frosting init ===")
-    fparams, meta = frosting_lib.init_frosting(
-        jax.random.key(seed), verts, faces, means, scales, quats, opac,
-        params_live, cfg.frosting, spatial_extent,
-        use_background=cfg.use_background_gaussians,
-    )
+    if ck and os.path.exists(ck("frosting_init.npz")):
+        if log_fn:
+            log_fn("=== stage 4: resumed from cache ===")
+        from frosting_tpu.train import checkpoint as ckpt_lib
+
+        fparams, meta = ckpt_lib.load_frosting(ck("frosting_init.npz"))
+    else:
+        if log_fn:
+            log_fn("=== stage 4: frosting init ===")
+        fparams, meta = frosting_lib.init_frosting(
+            jax.random.key(seed), verts, faces, means, scales, quats, opac,
+            params_live, cfg.frosting, spatial_extent,
+            use_background=cfg.use_background_gaussians,
+        )
+        if ck:
+            from frosting_tpu.train import checkpoint as ckpt_lib
+
+            ckpt_lib.save_frosting(ck("frosting_init.npz"), fparams, meta)
     out["frosting_meta"] = meta
 
     if log_fn:

@@ -102,6 +102,11 @@ def main():
     ap.add_argument("--target-vertices", type=int, default=200_000)
     ap.add_argument("--llffhold", type=int, default=8)
     ap.add_argument("--out", default="SHELLY_BENCH.json")
+    ap.add_argument(
+        "--cache-dir", default="",
+        help="stage-artifact cache: completed stages are skipped on "
+        "re-run (survives transient TPU worker crashes)",
+    )
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--max-instances", type=int, default=1 << 20)
     ap.add_argument(
@@ -213,9 +218,17 @@ def main():
         use_background_gaussians=False,
     )
 
+    import os
+
+    pre_cached = (
+        sorted(os.listdir(args.cache_dir))
+        if args.cache_dir and os.path.isdir(args.cache_dir)
+        else []
+    )
     t0 = time.time()
     out = pipeline.run_pipeline(
-        train_cams, train_imgs, points, colors, 2.0, rcfg, cfg, seed=0
+        train_cams, train_imgs, points, colors, 2.0, rcfg, cfg, seed=0,
+        cache_dir=args.cache_dir or None,
     )
     wall = time.time() - t0
 
@@ -245,10 +258,15 @@ def main():
         "n_frosting_gaussians": args.n_gaussians,
         "shell_vertices": int(np.asarray(out["shell_verts"]).shape[0]),
         "shell_faces": int(np.asarray(out["shell_faces"]).shape[0]),
-        "poisson_resolutions": out.get("shell_poisson_resolutions", []),
+        "poisson_resolutions": [
+            int(r) for r in out.get("shell_poisson_resolutions", [])
+        ],
         "eval_psnr": float(np.mean(psnrs)),
         "eval_ssim": float(np.mean(ssims)),
         "wall_clock_s": round(wall, 1),
+        # stages already present in --cache-dir were skipped this run;
+        # wall_clock_s then covers only the resumed stages
+        "resumed_from_cache": pre_cached,
     }
     print(json.dumps(result))
     with open(args.out, "w") as fp:
