@@ -477,31 +477,48 @@ def init_frosting(
     # 200k-vert shell; this OOM'd the full Shelly run). cumsum + binary
     # search is O(n log F) and exact-in-distribution (same construction
     # as fields.sample_points_in_gaussians).
+    #
+    # The whole block runs on the HOST CPU backend: it is init-time-only
+    # (no gradients), and the eager sort/searchsorted/log sequence at the
+    # 300k x 394k reference budget reproducibly crashed the TPU worker
+    # process (two full-budget Shelly runs died here; same PRNG keys give
+    # identical results on the CPU backend).
     k1, k2, k3 = jax.random.split(key, 3)
     n = cfg.n_gaussians
-    p = volumes / jnp.maximum(volumes.sum(), 1e-30)
-    cdf = jnp.cumsum(p)
-    u_cell = jax.random.uniform(k1, (n,), maxval=cdf[-1])
-    cell_idx = jnp.clip(
-        jnp.searchsorted(cdf, u_cell, side="right"),
-        0,
-        len(faces_j) - 1,
-    ).astype(jnp.int32)
-    # SORTED cell assignment (distribution unchanged — every other per-
-    # gaussian quantity is sampled iid afterwards): contiguity lets the
-    # activation backward reduce corner gradients as prefix differences
-    # instead of an N-row scatter-add (see _blend_corners_sorted)
-    cell_idx = jnp.sort(cell_idx)
-    cell_bounds = jnp.searchsorted(
-        cell_idx, jnp.arange(len(faces_j) + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        volumes_h = jax.device_put(volumes, cpu)
+        p = volumes_h / jnp.maximum(volumes_h.sum(), 1e-30)
+        cdf = jnp.cumsum(p)
+        u_cell = jax.random.uniform(
+            jax.device_put(k1, cpu), (n,), maxval=cdf[-1]
+        )
+        cell_idx = jnp.clip(
+            jnp.searchsorted(cdf, u_cell, side="right"),
+            0,
+            len(faces_j) - 1,
+        ).astype(jnp.int32)
+        # SORTED cell assignment (distribution unchanged — every other
+        # per-gaussian quantity is sampled iid afterwards): contiguity
+        # lets the activation backward reduce corner gradients as prefix
+        # differences instead of an N-row scatter-add
+        # (see _blend_corners_sorted)
+        cell_idx = jnp.sort(cell_idx)
+        cell_bounds = jnp.searchsorted(
+            cell_idx,
+            jnp.arange(len(faces_j) + 1, dtype=jnp.int32),
+            side="left",
+        ).astype(jnp.int32)
 
-    # random barycentric init: sorted-uniform differences (fm:502-507)
-    u = jax.random.uniform(k2, (n, 6))
-    u = u.at[:, -1].set(1.0)
-    u = jnp.sort(u, axis=-1)
-    bary = jnp.concatenate([u[:, :1], u[:, 1:] - u[:, :-1]], axis=-1)
-    bary_logits = jnp.log(jnp.maximum(bary, 1e-8))
+        # random barycentric init: sorted-uniform differences (fm:502-507)
+        u = jax.random.uniform(jax.device_put(k2, cpu), (n, 6))
+        u = u.at[:, -1].set(1.0)
+        u = jnp.sort(u, axis=-1)
+        bary = jnp.concatenate([u[:, :1], u[:, 1:] - u[:, :-1]], axis=-1)
+        bary_logits = jnp.log(jnp.maximum(bary, 1e-8))
+    cell_idx = jnp.asarray(np.asarray(cell_idx))
+    cell_bounds = jnp.asarray(np.asarray(cell_bounds))
+    bary_logits = jnp.asarray(np.asarray(bary_logits))
 
     params = FrostingParams(
         shell_verts=shell_verts,
