@@ -401,10 +401,20 @@ def init_frosting(
 ) -> Tuple[FrostingParams, FrostingMeta]:
     """Build the frosting layer around a shell mesh (frosting_model.py
     ctor :288-591)."""
+    import os as _os
+
+    def _dbg(tag, x):
+        # FROSTING_INIT_DEBUG=1: synchronize after each init phase so an
+        # async device failure is attributed to the right op group
+        if _os.environ.get("FROSTING_INIT_DEBUG"):
+            jax.block_until_ready(x)
+            print(f"[init_frosting] {tag} ok", flush=True)
+
     shell_verts = jnp.asarray(shell_verts, jnp.float32)
     faces_j = jnp.asarray(faces, jnp.int32)
     v = shell_verts.shape[0]
     normals = mesh_ops.vertex_normals(shell_verts, faces_j)
+    _dbg("vertex_normals", normals)
 
     # per-vertex std of nearby gaussians along the normal (fm:299-309)
     kidx, _ = knn_lib.knn_query(shell_verts, g_means, k=min(cfg.knn_k, 16))
@@ -416,11 +426,13 @@ def init_frosting(
         quat_ops.conjugate(nb_quats), jnp.broadcast_to(normals[:, None], nb_quats.shape[:2] + (3,))
     )
     stds = jnp.linalg.norm(nb_scales * local_n, axis=-1).mean(axis=1)  # [V]
+    _dbg("vertex_stds", stds)
 
     inner_dist, outer_dist = level_dists_along_normals(
         shell_verts, normals, g_means, g_scales, g_quats, g_opac, cfg,
         range_per_vertex=cfg.proposal_std_range * stds,
     )
+    _dbg("level_dists", (inner_dist, outer_dist))
 
     # fast pre-clamp by local edge length (bounds the KNN window the
     # intersection tests must cover)
@@ -436,16 +448,31 @@ def init_frosting(
     cap = cfg.max_offset_edge_factor * mean_edge
     inner_dist = jnp.maximum(inner_dist, -cap)
     outer_dist = jnp.minimum(outer_dist, cap)
+    _dbg("edge_clamp", (inner_dist, outer_dist))
 
     # true self-intersection avoidance: grow offsets incrementally,
     # freezing vertices whose sheet point enters another cell (fm:398-435)
     if cfg.avoid_self_intersections:
-        inner_dist, outer_dist = avoid_self_intersections(
-            shell_verts, normals, faces_j, inner_dist, outer_dist,
-            scene_scale=spatial_extent,
-            n_iters=cfg.self_intersection_iters,
-            k=cfg.self_intersection_knn,
-        )
+        # init-time-only, no gradients: run on the HOST CPU backend. The
+        # 20-iteration fori body (KNN + prism tests at reference budgets,
+        # 197k verts x 394k faces) wedged the remote TPU compile helper
+        # for 45+ minutes on a full-budget Shelly run; the CPU backend
+        # compiles it in seconds and the loop is off the hot path.
+        cpu_dev = jax.devices("cpu")[0]
+        with jax.default_device(cpu_dev):
+            inner_dist, outer_dist = avoid_self_intersections(
+                jax.device_put(shell_verts, cpu_dev),
+                jax.device_put(normals, cpu_dev),
+                jax.device_put(faces_j, cpu_dev),
+                jax.device_put(inner_dist, cpu_dev),
+                jax.device_put(outer_dist, cpu_dev),
+                scene_scale=spatial_extent,
+                n_iters=cfg.self_intersection_iters,
+                k=cfg.self_intersection_knn,
+            )
+        inner_dist = jnp.asarray(np.asarray(inner_dist))
+        outer_dist = jnp.asarray(np.asarray(outer_dist))
+        _dbg("avoid_self_intersections", (inner_dist, outer_dist))
     min_sz = cfg.min_frosting_size * spatial_extent
     outer_dist = jnp.maximum(outer_dist, min_sz)
     inner_dist = jnp.minimum(inner_dist, -min_sz)
@@ -470,6 +497,7 @@ def init_frosting(
     areas = mesh_ops.face_areas(vol_verts, faces_j)
     thick = thick_v[faces_j].mean(axis=1)
     volumes = areas * jnp.maximum(thick, cfg.min_frosting_size * spatial_extent)
+    _dbg("volumes", volumes)
 
     # volume-proportional allocation via inverse-CDF sampling:
     # jax.random.categorical materializes an [n, F] Gumbel matrix —
@@ -519,6 +547,7 @@ def init_frosting(
     cell_idx = jnp.asarray(np.asarray(cell_idx))
     cell_bounds = jnp.asarray(np.asarray(cell_bounds))
     bary_logits = jnp.asarray(np.asarray(bary_logits))
+    _dbg("allocation", (cell_idx, bary_logits))
 
     params = FrostingParams(
         shell_verts=shell_verts,
@@ -536,7 +565,9 @@ def init_frosting(
 
     # scale init: knn distance among frosting points, clamped by cell size
     pts = gaussian_centers(params, faces_j, cell_idx)
+    _dbg("gaussian_centers", pts)
     d2 = jnp.maximum(knn_lib.mean_knn_sqdist(pts, k=3), 1e-7)
+    _dbg("scale_knn", d2)
     corners = cell_corners(params, faces_j)
     side = jnp.linalg.norm(
         corners[:, 3:] - corners[:, :3], axis=-1
@@ -553,6 +584,7 @@ def init_frosting(
 
     # SH transfer from the closest source gaussian (fm:517-556)
     closest, _ = knn_lib.knn_query(pts, g_means, k=1)
+    _dbg("sh_transfer_knn", closest)
     closest = closest[:, 0]
     if gaussians is not None:
         params = dataclasses.replace(
