@@ -158,7 +158,12 @@ def level_points_from_camera(
     # at a 512^2 x 21-sample sweep) because the joint ref/query bbox made
     # the sort block-dependent; preparing on the camera's full sample set
     # hoists all of it.
-    small_refs = means.shape[0] <= 16384
+    import os as _os
+
+    small_refs = (
+        means.shape[0] <= 16384
+        or _os.environ.get("SHELL_KNN_HOIST", "1") == "0"
+    )
     knn_index = (
         None if small_refs else knn_lib.knn_prepare(means, flat_pts)
     )

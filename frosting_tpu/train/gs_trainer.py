@@ -94,9 +94,17 @@ def _train_step_impl(
 
     def loss_fn(params, probe):
         means, scales, quats, opac, sh = activate(params)
+        # TRACED SH warm-up: zero the coefficients above the active
+        # degree instead of statically truncating the basis — identical
+        # math (zero coeffs kill the same basis terms) but ONE compiled
+        # executable across the warm-up (the static form recompiled the
+        # whole step at every sh_increase_interval, ~3 min each through
+        # the remote helper — most of PSNR_BENCH's wall-clock).
+        k_act = (active_sh_degree + 1) * (active_sh_degree + 1)
+        sh = sh * (jnp.arange(sh.shape[1]) < k_act)[None, :, None]
         out = render(
             means, scales, quats, opac, sh, camera, rcfg,
-            bg=bg, active_sh_degree=active_sh_degree, means2d_probe=probe,
+            bg=bg, means2d_probe=probe,
         )
         ll1 = l1_loss(out.image, gt_image)
         loss = (1.0 - cfg.lambda_dssim) * ll1 + cfg.lambda_dssim * (
@@ -144,7 +152,9 @@ def _train_step_impl(
     )
 
 
-_GS_STATICS = ("tx", "rcfg", "cfg", "active_sh_degree")
+# active_sh_degree is TRACED (not static): the SH warm-up changes it at
+# every sh_increase_interval and a static arg would recompile the step
+_GS_STATICS = ("tx", "rcfg", "cfg")
 # public entry point: safe to call repeatedly on the same state
 train_step = functools.partial(jax.jit, static_argnames=_GS_STATICS)(
     _train_step_impl
