@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--culled", action="store_true",
                     help="use the culled instance cap (visible subset)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dispatch", action="store_true",
+                    help="time per-dispatch jitted calls instead of an "
+                    "in-program fori_loop (the fori composition trips the "
+                    "round-5 TPU-worker fault at 2M shapes; dispatched "
+                    "steps are ~600 ms so ~1 ms dispatch overhead is noise)")
     ap.add_argument("--res", type=int, default=0, help="0 = 1920x1080")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
@@ -176,13 +181,23 @@ def main():
         ("fwdbwd", bwd_body),
     ]
     for name, body in stages:
-        fn = loop(body)
-        r = float(fn(params, 0.0))  # compile
-        best = float("inf")
-        for rep in range(3):
-            t0 = time.time()
-            r = float(fn(params, 0.01 + 0.003 * rep))
-            best = min(best, time.time() - t0)
+        if args.dispatch:
+            fn1 = jax.jit(lambda p, s, _b=body: _b(salt(p, s)))
+            r = float(fn1(params, 0.0))  # compile
+            best = float("inf")
+            for rep in range(3):
+                t0 = time.time()
+                for i in range(args.iters):
+                    r = float(fn1(params, 0.01 + 1e-3 * (i + rep)))
+                best = min(best, time.time() - t0)
+        else:
+            fn = loop(body)
+            r = float(fn(params, 0.0))  # compile
+            best = float("inf")
+            for rep in range(3):
+                t0 = time.time()
+                r = float(fn(params, 0.01 + 0.003 * rep))
+                best = min(best, time.time() - t0)
         ms = best / args.iters * 1e3
         results[name] = round(ms, 1)
         print(f"{name}: {ms:.1f} ms", flush=True)
